@@ -1,0 +1,129 @@
+"""3D rotary positional embeddings for the LTX DiT.
+
+Re-implements ``Transformer3DModel.precompute_freqs_cis`` and
+``Attention.apply_rotary_emb``
+(`/root/reference/ltx_video/models/transformers/transformer3d.py:209-277`,
+`attention.py:917-932`) as jit-safe pure functions.  Frequencies are computed
+in fp32 (required for stability) and applied to the *full-width* q/k vectors
+before the head split, exactly as the reference does.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+
+
+def precompute_freqs_cis(
+    indices_grid: jnp.ndarray,
+    dim: int,
+    theta: float = 10000.0,
+    max_pos: Sequence[int] = (20, 2048, 2048),
+    spacing: str = "exp",
+    out_dtype: jnp.dtype = jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Compute RoPE (cos, sin) tensors for a 3D token coordinate grid.
+
+    Args:
+      indices_grid: [B, 3, N] per-token (t, y, x) coordinates.
+      dim: transformer inner dim (e.g. 2048); dim//6 frequencies per axis.
+      theta: RoPE base (reference config positional_embedding_theta=10000).
+      max_pos: per-axis normalization constants.
+      spacing: 'exp' (default), 'exp_2', 'linear' or 'sqrt'.
+
+    Returns:
+      (cos, sin), each [B, N, dim] in ``out_dtype``.
+    """
+    dtype = jnp.float32  # full precision for freqs (transformer3d.py:225)
+    fractional_positions = jnp.stack(
+        [indices_grid[:, i] / max_pos[i] for i in range(3)], axis=-1
+    ).astype(dtype)  # [B, N, 3]
+
+    n_freqs = dim // 6
+    start, end = 1.0, theta
+    if spacing == "exp":
+        indices = theta ** jnp.linspace(
+            math.log(start, theta), math.log(end, theta), n_freqs, dtype=dtype
+        )
+    elif spacing == "exp_2":
+        indices = 1.0 / theta ** (jnp.arange(0, dim, 6, dtype=dtype) / dim)
+    elif spacing == "linear":
+        indices = jnp.linspace(start, end, n_freqs, dtype=dtype)
+    elif spacing == "sqrt":
+        indices = jnp.sqrt(jnp.linspace(start**2, end**2, n_freqs, dtype=dtype))
+    else:
+        raise ValueError(f"Unknown spacing: {spacing}")
+
+    indices = indices * (math.pi / 2)
+
+    if spacing == "exp_2":
+        # freqs[b, n, axis*f] = indices[f] * frac[b, n, axis]
+        freqs = indices[None, None, None, :] * fractional_positions[..., None]
+    else:
+        freqs = (
+            indices[None, None, None, :]
+            * (fractional_positions[..., None] * 2 - 1)
+        )
+    # [B, N, 3, F] -> transpose(-1, -2) -> [B, N, F, 3] -> flatten last two
+    freqs = jnp.swapaxes(freqs, -1, -2).reshape(*freqs.shape[:2], -1)
+
+    cos_freq = jnp.repeat(jnp.cos(freqs), 2, axis=-1)
+    sin_freq = jnp.repeat(jnp.sin(freqs), 2, axis=-1)
+    if dim % 6 != 0:
+        pad = dim % 6
+        cos_freq = jnp.concatenate(
+            [jnp.ones_like(cos_freq[:, :, :pad]), cos_freq], axis=-1
+        )
+        sin_freq = jnp.concatenate(
+            [jnp.zeros_like(sin_freq[:, :, :pad]), sin_freq], axis=-1
+        )
+    return cos_freq.astype(out_dtype), sin_freq.astype(out_dtype)
+
+
+def apply_rotary_emb(
+    x: jnp.ndarray, freqs_cis: Tuple[jnp.ndarray, jnp.ndarray]
+) -> jnp.ndarray:
+    """Rotate adjacent feature pairs: out = x*cos + rot(x)*sin
+    where rot interleaves (-x2, x1) per pair (attention.py:917-932)."""
+    cos_freqs, sin_freqs = freqs_cis
+    x1 = x[..., 0::2]
+    x2 = x[..., 1::2]
+    rot = jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
+    return x * cos_freqs + rot * sin_freqs
+
+
+def get_latent_coords(
+    latent_num_frames: int,
+    latent_height: int,
+    latent_width: int,
+    batch_size: int,
+    patch_size: Tuple[int, int, int] = (1, 1, 1),
+) -> jnp.ndarray:
+    """Top-left (t, y, x) coordinates of each latent patch, [B, 3, N]
+    (symmetric_patchifier.py:33-51)."""
+    t = jnp.arange(0, latent_num_frames, patch_size[0])
+    y = jnp.arange(0, latent_height, patch_size[1])
+    x = jnp.arange(0, latent_width, patch_size[2])
+    grid = jnp.stack(jnp.meshgrid(t, y, x, indexing="ij"), axis=0)  # [3,F,H,W]
+    coords = grid.reshape(3, -1)[None]
+    return jnp.broadcast_to(coords, (batch_size,) + coords.shape[1:]).astype(
+        jnp.float32
+    )
+
+
+def latent_to_pixel_coords(
+    latent_coords: jnp.ndarray,
+    scale_factors: Tuple[int, int, int],
+    causal_fix: bool = False,
+) -> jnp.ndarray:
+    """Scale latent coords to pixel space; optionally fix the first-frame
+    temporal scale for causal VAEs (vae_encode.py:215-225)."""
+    pixel_coords = latent_coords * jnp.asarray(
+        scale_factors, dtype=latent_coords.dtype
+    ).reshape(1, 3, 1)
+    if causal_fix:
+        fixed_t = jnp.clip(pixel_coords[:, 0] + 1 - scale_factors[0], 0, None)
+        pixel_coords = pixel_coords.at[:, 0].set(fixed_t)
+    return pixel_coords

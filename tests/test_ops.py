@@ -1,0 +1,210 @@
+"""Unit tests for core ops: attention (incl. Pallas kernel in interpret mode),
+causal conv3d vs a torch oracle, RoPE, normalization, pixel shuffle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from avatar_tpu.ops import (
+    apply_rotary_emb,
+    causal_conv3d,
+    layer_norm,
+    pixel_norm,
+    pixel_shuffle_3d,
+    pixel_unshuffle_3d,
+    patchify_pixels,
+    unpatchify_pixels,
+    precompute_freqs_cis,
+    rms_norm,
+    scaled_dot_product_attention,
+)
+from avatar_tpu.ops.attention import xla_attention
+from avatar_tpu.ops.flash_attention import flash_attention
+from avatar_tpu.ops.rope import get_latent_coords
+
+
+def _np_attention(q, k, v, keep_mask=None, scale=None):
+    q, k, v = [np.asarray(t, dtype=np.float64) for t in (q, k, v)]
+    d = q.shape[-1]
+    scale = d**-0.5 if scale is None else scale
+    s = np.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    if keep_mask is not None:
+        s = np.where(keep_mask[:, None, None, :] > 0.5, s, -1e30)
+    s = s - s.max(-1, keepdims=True)
+    p = np.exp(s)
+    p = p / p.sum(-1, keepdims=True)
+    return np.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_xla_attention_matches_numpy(rng, masked):
+    q = rng.standard_normal((2, 3, 40, 16)).astype(np.float32)
+    k = rng.standard_normal((2, 3, 24, 16)).astype(np.float32)
+    v = rng.standard_normal((2, 3, 24, 16)).astype(np.float32)
+    mask = (rng.random((2, 24)) > 0.3).astype(np.float32) if masked else None
+    out = scaled_dot_product_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        mask=None if mask is None else jnp.asarray(mask), impl="xla",
+    )
+    ref = _np_attention(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+
+@pytest.mark.parametrize("lq,lk", [(256, 256), (250, 130), (384, 256)])
+def test_flash_attention_interpret_matches_xla(rng, lq, lk):
+    """Pallas kernel in interpreter mode (CPU) vs the XLA path, with masks
+    and non-block-multiple lengths (the wrapper must pad internally)."""
+    q = jnp.asarray(rng.standard_normal((2, 2, lq, 32)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((2, 2, lk, 32)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((2, 2, lk, 32)).astype(np.float32))
+    mask = jnp.asarray((rng.random((2, lk)) > 0.25).astype(np.float32))
+    out_f = flash_attention(q, k, v, kv_mask=mask, block_q=128, block_kv=128)
+    out_x = xla_attention(
+        q, k, v, jnp.where(mask[:, None, None, :] > 0.5, 0.0, -1e30)
+    )
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x), atol=2e-5)
+
+
+def test_flash_attention_grad(rng):
+    q = jnp.asarray(rng.standard_normal((1, 2, 128, 32)).astype(np.float32))
+
+    def loss_flash(q):
+        return jnp.sum(flash_attention(q, q * 0.5, q * 0.2, block_q=128, block_kv=128) ** 2)
+
+    def loss_xla(q):
+        return jnp.sum(xla_attention(q, q * 0.5, q * 0.2) ** 2)
+
+    g_f = jax.grad(loss_flash)(q)
+    g_x = jax.grad(loss_xla)(q)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_x), atol=1e-4)
+
+
+def test_causal_conv3d_matches_torch(rng):
+    """lax conv in NDHWC vs torch Conv3d oracle, causal + strided."""
+    torch = pytest.importorskip("torch")
+
+    b, f, h, w, cin, cout = 2, 9, 8, 8, 4, 6
+    x = rng.standard_normal((b, f, h, w, cin)).astype(np.float32)
+    wgt = rng.standard_normal((cout, cin, 3, 3, 3)).astype(np.float32) * 0.2
+    bias = rng.standard_normal((cout,)).astype(np.float32)
+
+    for stride, causal in [((1, 1, 1), True), ((2, 2, 2), True), ((1, 1, 1), False)]:
+        # torch reference (reference CausalConv3d semantics)
+        xt = torch.from_numpy(x).permute(0, 4, 1, 2, 3)
+        kt = 3
+        if causal:
+            pad = xt[:, :, :1].repeat(1, 1, kt - 1, 1, 1)
+            xt_p = torch.cat([pad, xt], dim=2)
+        else:
+            fpad = xt[:, :, :1].repeat(1, 1, (kt - 1) // 2, 1, 1)
+            bpad = xt[:, :, -1:].repeat(1, 1, (kt - 1) // 2, 1, 1)
+            xt_p = torch.cat([fpad, xt, bpad], dim=2)
+        conv = torch.nn.Conv3d(cin, cout, 3, stride=stride, padding=(0, 1, 1))
+        with torch.no_grad():
+            conv.weight.copy_(torch.from_numpy(wgt))
+            conv.bias.copy_(torch.from_numpy(bias))
+            ref = conv(xt_p).permute(0, 2, 3, 4, 1).numpy()
+
+        kernel = jnp.asarray(wgt.transpose(2, 3, 4, 1, 0))  # OIDHW -> DHWIO
+        out = causal_conv3d(
+            jnp.asarray(x), kernel, jnp.asarray(bias),
+            stride=stride, causal=causal,
+        )
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+
+def test_causal_conv3d_temporal_causality(rng):
+    """Output frame t must not depend on input frames > t (stride 1)."""
+    x = rng.standard_normal((1, 8, 4, 4, 3)).astype(np.float32)
+    kernel = jnp.asarray(rng.standard_normal((3, 3, 3, 3, 5)).astype(np.float32))
+    full = causal_conv3d(jnp.asarray(x), kernel)
+    x2 = x.copy()
+    x2[:, 5:] += 100.0  # perturb the future
+    out2 = causal_conv3d(jnp.asarray(x2), kernel)
+    np.testing.assert_allclose(np.asarray(full[:, :5]), np.asarray(out2[:, :5]), atol=1e-5)
+    assert not np.allclose(np.asarray(full[:, 5:]), np.asarray(out2[:, 5:]))
+
+
+def test_rope_shapes_and_values():
+    """RoPE shape contract + rotation norm preservation."""
+    coords = get_latent_coords(2, 3, 4, batch_size=2)
+    assert coords.shape == (2, 3, 24)
+    dim = 48  # divisible by 6
+    cos, sin = precompute_freqs_cis(coords, dim=dim, max_pos=(20, 2048, 2048))
+    assert cos.shape == (2, 24, dim) and sin.shape == (2, 24, dim)
+    np.testing.assert_allclose(
+        np.asarray(cos**2 + sin**2), np.ones((2, 24, dim)), atol=1e-5
+    )
+    x = jnp.ones((2, 24, dim))
+    out = apply_rotary_emb(x, (cos, sin))
+    assert out.shape == x.shape
+    # t=y=x=0 token: fractional position 0 -> angle -indices*pi/2; nonzero rotation
+    assert not np.allclose(np.asarray(out[0, 0]), np.asarray(x[0, 0]))
+
+
+def test_rope_dim_padding():
+    """dim % 6 != 0 pads cos with ones / sin with zeros at the front
+    (transformer3d.py:272-276)."""
+    coords = get_latent_coords(1, 2, 2, batch_size=1)
+    dim = 2048  # 2048 % 6 == 2
+    cos, sin = precompute_freqs_cis(coords, dim=dim)
+    assert cos.shape[-1] == dim
+    np.testing.assert_allclose(np.asarray(cos[..., :2]), 1.0)
+    np.testing.assert_allclose(np.asarray(sin[..., :2]), 0.0)
+
+
+def test_norms_match_torch(rng):
+    torch = pytest.importorskip("torch")
+    x = rng.standard_normal((2, 7, 24)).astype(np.float32)
+
+    ln = torch.nn.LayerNorm(24, eps=1e-6, elementwise_affine=False)
+    ref = ln(torch.from_numpy(x)).numpy()
+    out = layer_norm(jnp.asarray(x), eps=1e-6)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+    # rms_norm vs manual
+    ref_rms = x / np.sqrt((x**2).mean(-1, keepdims=True) + 1e-6)
+    np.testing.assert_allclose(
+        np.asarray(rms_norm(jnp.asarray(x), eps=1e-6)), ref_rms, atol=1e-5
+    )
+
+    # pixel_norm vs reference formula (eps 1e-8, channel axis)
+    v = rng.standard_normal((2, 3, 4, 4, 8)).astype(np.float32)
+    ref_pn = v / np.sqrt((v**2).mean(-1, keepdims=True) + 1e-8)
+    np.testing.assert_allclose(
+        np.asarray(pixel_norm(jnp.asarray(v))), ref_pn, atol=1e-5
+    )
+
+
+def test_pixel_shuffle_roundtrip(rng):
+    x = jnp.asarray(rng.standard_normal((2, 2, 4, 4, 24)).astype(np.float32))
+    up = pixel_shuffle_3d(x, (2, 2, 2))
+    assert up.shape == (2, 4, 8, 8, 3)
+    back = pixel_unshuffle_3d(up, (2, 2, 2))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+
+
+def test_patchify_pixels_roundtrip(rng):
+    """Mirror of reference test_vae_patchify_unpatchify
+    (causal_video_autoencoder.py:1334-1340), channels-last."""
+    x = jnp.asarray(rng.standard_normal((2, 8, 64, 64, 3)).astype(np.float32))
+    p = patchify_pixels(x, patch_size_hw=4, patch_size_t=4)
+    assert p.shape == (2, 2, 16, 16, 3 * 64)
+    back = unpatchify_pixels(p, patch_size_hw=4, patch_size_t=4)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+
+
+def test_patchify_pixels_matches_torch_channel_order(rng):
+    """The channels-last patchify must equal the reference NCFHW rearrange
+    'b c (f p) (h q) (w r) -> b (c p r q) f h w' transposed to NDHWC."""
+    from einops import rearrange
+
+    x = rng.standard_normal((1, 4, 8, 8, 3)).astype(np.float32)
+    x_ncfhw = x.transpose(0, 4, 1, 2, 3)
+    ref = rearrange(
+        x_ncfhw, "b c (f p) (h q) (w r) -> b (c p r q) f h w", p=1, q=4, r=4
+    )
+    ref = ref.transpose(0, 2, 3, 4, 1)
+    out = patchify_pixels(jnp.asarray(x), patch_size_hw=4, patch_size_t=1)
+    np.testing.assert_allclose(np.asarray(out), ref)
