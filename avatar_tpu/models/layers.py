@@ -1,0 +1,141 @@
+"""Shared functional layer primitives over explicit parameter pytrees.
+
+Conventions (used across the whole framework):
+- linear params:  {"kernel": [in, out], "bias": [out]?}         (torch .weight is transposed at import)
+- conv3d params:  {"kernel": [kt, kh, kw, in, out], "bias": [out]?}
+- norm params:    {"scale": [C]?, "bias": [C]?}
+- modules are pure `apply(params, ...)` functions; `init_*` builds params.
+
+Initializers follow torch defaults (kaiming-uniform fan_in for weights,
+uniform(+-1/sqrt(fan_in)) for biases) so from-scratch training behaves like
+the reference; imported checkpoints overwrite these anyway.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def init_linear(
+    key: jax.Array,
+    in_dim: int,
+    out_dim: int,
+    bias: bool = True,
+    dtype: jnp.dtype = jnp.float32,
+) -> dict:
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_dim)
+    p = {
+        "kernel": jax.random.uniform(
+            kw, (in_dim, out_dim), dtype, -math.sqrt(3) * bound, math.sqrt(3) * bound
+        )
+    }
+    if bias:
+        p["bias"] = jax.random.uniform(kb, (out_dim,), dtype, -bound, bound)
+    return p
+
+
+def linear(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    out = jnp.einsum(
+        "...i,io->...o", x, params["kernel"].astype(x.dtype)
+    )
+    if "bias" in params:
+        out = out + params["bias"].astype(out.dtype)
+    return out
+
+
+def init_conv3d(
+    key: jax.Array,
+    in_ch: int,
+    out_ch: int,
+    kernel_size: int = 3,
+    bias: bool = True,
+    dtype: jnp.dtype = jnp.float32,
+) -> dict:
+    kw, kb = jax.random.split(key)
+    fan_in = in_ch * kernel_size**3
+    bound = 1.0 / math.sqrt(fan_in)
+    p = {
+        "kernel": jax.random.uniform(
+            kw,
+            (kernel_size, kernel_size, kernel_size, in_ch, out_ch),
+            dtype,
+            -math.sqrt(3) * bound,
+            math.sqrt(3) * bound,
+        )
+    }
+    if bias:
+        p["bias"] = jax.random.uniform(kb, (out_ch,), dtype, -bound, bound)
+    return p
+
+
+def group_norm(
+    params: dict, x: jnp.ndarray, num_groups: int, eps: float = 1e-6
+) -> jnp.ndarray:
+    """GroupNorm over channels-last x: [..., C]."""
+    c = x.shape[-1]
+    dtype = x.dtype
+    xf = x.astype(jnp.float32).reshape(x.shape[0], -1, num_groups, c // num_groups)
+    mean = xf.mean(axis=(1, 3), keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=(1, 3), keepdims=True)
+    xf = (xf - mean) * (var + eps) ** -0.5
+    out = xf.reshape(x.shape).astype(dtype)
+    if "scale" in params:
+        out = out * params["scale"]
+    if "bias" in params:
+        out = out + params["bias"]
+    return out
+
+
+def sinusoidal_timestep_embedding(
+    timesteps: jnp.ndarray,
+    embedding_dim: int,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+) -> jnp.ndarray:
+    """DDPM sinusoidal embedding (reference embeddings.py:10-50; defaults match
+    diffusers' ``Timesteps(256, flip_sin_to_cos=True, downscale_freq_shift=0)``
+    used by PixArt-style conditioning)."""
+    assert timesteps.ndim == 1
+    half_dim = embedding_dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half_dim, dtype=jnp.float32)
+    exponent = exponent / (half_dim - downscale_freq_shift)
+    emb = timesteps.astype(jnp.float32)[:, None] * jnp.exp(exponent)[None, :]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+    if flip_sin_to_cos:
+        emb = jnp.concatenate([emb[:, half_dim:], emb[:, :half_dim]], axis=-1)
+    if embedding_dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+def init_timestep_embedder(
+    key: jax.Array, dim: int, freq_dim: int = 256, dtype: jnp.dtype = jnp.float32
+) -> dict:
+    """PixArtAlphaCombinedTimestepSizeEmbeddings params: 2-layer MLP over the
+    256-d sinusoidal embedding (torch keys *.timestep_embedder.linear_{1,2})."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "linear_1": init_linear(k1, freq_dim, dim, dtype=dtype),
+        "linear_2": init_linear(k2, dim, dim, dtype=dtype),
+    }
+
+
+def timestep_embedder(
+    params: dict,
+    timesteps: jnp.ndarray,
+    freq_dim: int = 256,
+    dtype: Optional[jnp.dtype] = None,
+) -> jnp.ndarray:
+    """timestep [B] (or flattened [B*N]) -> [B, dim] embedding."""
+    emb = sinusoidal_timestep_embedding(timesteps, freq_dim)
+    if dtype is not None:
+        emb = emb.astype(dtype)
+    h = linear(params["linear_1"], emb)
+    h = jax.nn.silu(h)
+    return linear(params["linear_2"], h)
