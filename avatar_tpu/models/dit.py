@@ -1,0 +1,492 @@
+"""LTX-Video 2B DiT denoiser, TPU-native.
+
+Functional re-design of ``Transformer3DModel`` and ``BasicTransformerBlock``
+(`/root/reference/ltx_video/models/transformers/transformer3d.py:49-565`,
+`attention.py:38-321,935-1114`):
+
+- tokens [B, N, C] with 3D RoPE from per-token (t, y, x) coordinates;
+- AdaLN-single timestep conditioning (PixArt-style): one shared embedding
+  MLP + per-block learned ``scale_shift_table`` offsets;
+- blocks: rms/layer pre-norm -> AdaLN 6-param modulate -> self-attn (RoPE,
+  q/k rms-norm over the full inner dim) -> cross-attn over projected caption
+  embeddings (the LoRA target) -> gated gelu-tanh MLP;
+- STG skip-layer strategies (AttentionSkip / AttentionValues / Residual /
+  TransformerBlock) for spatio-temporal guidance;
+- the avatar fork's reference/pose latent lerp (transformer3d.py:447-466)
+  is a separate conditioning transform (:func:`avatar_condition_tokens`)
+  so the core DiT stays generic.
+
+Everything is a pure function over a params pytree; attention dispatches to
+the Pallas flash kernel on TPU.  Gradient checkpointing = `jax.checkpoint`
+around blocks (policy chosen by the trainer, not module state).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from avatar_tpu.models.layers import (
+    init_linear,
+    init_timestep_embedder,
+    linear,
+    timestep_embedder,
+)
+from avatar_tpu.ops.attention import scaled_dot_product_attention
+from avatar_tpu.ops.normalization import layer_norm, rms_norm
+from avatar_tpu.ops.rope import apply_rotary_emb, precompute_freqs_cis
+
+
+class SkipLayerStrategy(enum.Enum):
+    """STG perturbation strategies (reference utils/skip_layer_strategy.py:4-8)."""
+
+    AttentionSkip = enum.auto()
+    AttentionValues = enum.auto()
+    Residual = enum.auto()
+    TransformerBlock = enum.auto()
+
+
+@dataclass(frozen=True)
+class DiTConfig:
+    """Static transformer config; defaults = shipped 2B model
+    (diffusers_config_mapping.py:74-105)."""
+
+    num_attention_heads: int = 32
+    attention_head_dim: int = 64
+    in_channels: int = 128
+    out_channels: int = 128
+    num_layers: int = 28
+    cross_attention_dim: int = 2048
+    caption_channels: int = 4096
+    attention_bias: bool = True
+    activation_fn: str = "gelu-approximate"
+    norm_elementwise_affine: bool = False
+    norm_eps: float = 1e-6
+    qk_norm: Optional[str] = "rms_norm"
+    standardization_norm: str = "rms_norm"
+    adaptive_norm: str = "single_scale_shift"
+    positional_embedding_theta: float = 10000.0
+    positional_embedding_max_pos: Tuple[int, int, int] = (20, 2048, 2048)
+    timestep_scale_multiplier: float = 1000.0
+    ff_mult: int = 4
+
+    @property
+    def inner_dim(self) -> int:
+        return self.num_attention_heads * self.attention_head_dim
+
+    @classmethod
+    def from_dict(cls, config: dict) -> "DiTConfig":
+        return cls(
+            num_attention_heads=config["num_attention_heads"],
+            attention_head_dim=config["attention_head_dim"],
+            in_channels=config["in_channels"],
+            out_channels=config.get("out_channels", config["in_channels"]),
+            num_layers=config["num_layers"],
+            cross_attention_dim=config.get("cross_attention_dim"),
+            caption_channels=config.get("caption_channels"),
+            attention_bias=config.get("attention_bias", False),
+            activation_fn=config.get("activation_fn", "geglu"),
+            norm_elementwise_affine=config.get("norm_elementwise_affine", True),
+            norm_eps=config.get("norm_eps", 1e-5),
+            qk_norm=config.get("qk_norm"),
+            standardization_norm=config.get("standardization_norm", "layer_norm"),
+            adaptive_norm=config.get("adaptive_norm", "single_scale_shift"),
+            positional_embedding_theta=config.get("positional_embedding_theta", 10000.0),
+            positional_embedding_max_pos=tuple(
+                config.get("positional_embedding_max_pos", (20, 2048, 2048))
+            ),
+            timestep_scale_multiplier=config.get("timestep_scale_multiplier") or 1.0,
+        )
+
+    def to_dict(self) -> dict:
+        return {
+            "_class_name": "Transformer3DModel",
+            "num_attention_heads": self.num_attention_heads,
+            "attention_head_dim": self.attention_head_dim,
+            "in_channels": self.in_channels,
+            "out_channels": self.out_channels,
+            "num_layers": self.num_layers,
+            "cross_attention_dim": self.cross_attention_dim,
+            "caption_channels": self.caption_channels,
+            "attention_bias": self.attention_bias,
+            "activation_fn": self.activation_fn,
+            "norm_elementwise_affine": self.norm_elementwise_affine,
+            "norm_eps": self.norm_eps,
+            "qk_norm": self.qk_norm,
+            "standardization_norm": self.standardization_norm,
+            "adaptive_norm": self.adaptive_norm,
+            "positional_embedding_type": "rope",
+            "positional_embedding_theta": self.positional_embedding_theta,
+            "positional_embedding_max_pos": list(self.positional_embedding_max_pos),
+            "timestep_scale_multiplier": self.timestep_scale_multiplier,
+        }
+
+
+LTX_2B_TRANSFORMER_CONFIG = DiTConfig()
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def _init_attention(key, query_dim, kv_dim, cfg: DiTConfig) -> dict:
+    ks = jax.random.split(key, 4)
+    inner = cfg.inner_dim
+    p = {
+        "to_q": init_linear(ks[0], query_dim, inner, bias=cfg.attention_bias),
+        "to_k": init_linear(ks[1], kv_dim, inner, bias=cfg.attention_bias),
+        "to_v": init_linear(ks[2], kv_dim, inner, bias=cfg.attention_bias),
+        "to_out": init_linear(ks[3], inner, query_dim, bias=True),
+    }
+    if cfg.qk_norm == "rms_norm":
+        p["q_norm"] = {"scale": jnp.ones((inner,))}
+        p["k_norm"] = {"scale": jnp.ones((inner,))}
+    elif cfg.qk_norm == "layer_norm":
+        p["q_norm"] = {"scale": jnp.ones((inner,)), "bias": jnp.zeros((inner,))}
+        p["k_norm"] = {"scale": jnp.ones((inner,)), "bias": jnp.zeros((inner,))}
+    return p
+
+
+def _init_block(key, cfg: DiTConfig) -> dict:
+    ks = jax.random.split(key, 5)
+    inner = cfg.inner_dim
+    ff_inner = inner * cfg.ff_mult
+    p = {
+        "attn1": _init_attention(ks[0], inner, inner, cfg),
+        "attn2": _init_attention(ks[1], inner, cfg.cross_attention_dim, cfg),
+        "ff": {
+            "proj_in": init_linear(ks[2], inner, ff_inner),
+            "proj_out": init_linear(ks[3], ff_inner, inner),
+        },
+    }
+    if cfg.norm_elementwise_affine:
+        p["norm1"] = {"scale": jnp.ones((inner,))}
+        p["norm2"] = {"scale": jnp.ones((inner,))}
+    if cfg.adaptive_norm != "none":
+        n_ada = 4 if cfg.adaptive_norm == "single_scale" else 6
+        p["scale_shift_table"] = jax.random.normal(ks[4], (n_ada, inner)) / inner**0.5
+    return p
+
+
+def init_dit(key: jax.Array, cfg: DiTConfig) -> dict:
+    ks = jax.random.split(key, cfg.num_layers + 5)
+    inner = cfg.inner_dim
+    n_ada = 4 if cfg.adaptive_norm == "single_scale" else 6
+    params = {
+        "patchify_proj": init_linear(ks[0], cfg.in_channels, inner),
+        "adaln_single": {
+            "emb": init_timestep_embedder(ks[1], inner),
+            "linear": init_linear(ks[2], inner, n_ada * inner),
+        },
+        "blocks": [_init_block(ks[5 + i], cfg) for i in range(cfg.num_layers)],
+        "scale_shift_table": jax.random.normal(ks[3], (2, inner)) / inner**0.5,
+        "proj_out": init_linear(ks[4], inner, cfg.out_channels),
+    }
+    if cfg.caption_channels is not None:
+        k1, k2 = jax.random.split(ks[3])
+        params["caption_projection"] = {
+            "linear_1": init_linear(k1, cfg.caption_channels, inner),
+            "linear_2": init_linear(k2, inner, inner),
+        }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Apply
+# ---------------------------------------------------------------------------
+
+
+def _std_norm(params: Optional[dict], x: jnp.ndarray, cfg: DiTConfig) -> jnp.ndarray:
+    scale = None if not params else params.get("scale")
+    bias = None if not params else params.get("bias")
+    if cfg.standardization_norm == "rms_norm":
+        return rms_norm(x, scale, eps=cfg.norm_eps)
+    return layer_norm(x, scale, bias, eps=cfg.norm_eps)
+
+
+def _qk_norm(params: Optional[dict], x: jnp.ndarray, cfg: DiTConfig) -> jnp.ndarray:
+    if params is None:
+        return x
+    if cfg.qk_norm == "rms_norm":
+        return rms_norm(x, params["scale"], eps=1e-5)
+    return layer_norm(x, params["scale"], params.get("bias"), eps=1e-5)
+
+
+def _attention(
+    params: dict,
+    x: jnp.ndarray,
+    cfg: DiTConfig,
+    encoder_hidden_states: Optional[jnp.ndarray] = None,
+    freqs_cis: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    kv_mask: Optional[jnp.ndarray] = None,
+    skip_layer_mask: Optional[jnp.ndarray] = None,
+    skip_layer_strategy: Optional[SkipLayerStrategy] = None,
+    attention_impl: str = "auto",
+    lora: Optional[dict] = None,
+    lora_scale: float = 1.0,
+) -> jnp.ndarray:
+    """AttnProcessor2_0.__call__ equivalent (attention.py:943-1114).
+
+    ``lora`` optionally holds {"to_q": {"a": [in,r], "b": [r,out]}, ...}
+    low-rank deltas applied additively (the training-time LoRA path; merged
+    weights at export produce the same math).
+    """
+    b = x.shape[0]
+    heads = cfg.num_attention_heads
+    head_dim = cfg.attention_head_dim
+
+    def proj(name, inp):
+        out = linear(params[name], inp)
+        if lora is not None and name in lora:
+            la, lb = lora[name]["a"], lora[name]["b"]
+            out = out + lora_scale * jnp.einsum(
+                "...i,ir,ro->...o", inp, la.astype(inp.dtype), lb.astype(inp.dtype)
+            )
+        return out
+
+    q = _qk_norm(params.get("q_norm"), proj("to_q", x), cfg)
+    is_cross = encoder_hidden_states is not None
+    ctx = encoder_hidden_states if is_cross else x
+    k = _qk_norm(params.get("k_norm"), proj("to_k", ctx), cfg)
+    if not is_cross and freqs_cis is not None:
+        q = apply_rotary_emb(q, freqs_cis)
+        k = apply_rotary_emb(k, freqs_cis)
+    v = proj("to_v", ctx)
+    value_for_stg = v
+
+    def split(t):
+        return t.reshape(b, -1, heads, head_dim).transpose(0, 2, 1, 3)
+
+    out = scaled_dot_product_attention(
+        split(q), split(k), split(v), mask=kv_mask, impl=attention_impl
+    )
+    out = out.transpose(0, 2, 1, 3).reshape(b, -1, heads * head_dim)
+    out = out.astype(q.dtype)
+
+    if skip_layer_mask is not None:
+        m = skip_layer_mask.reshape(b, 1, 1)
+        if skip_layer_strategy == SkipLayerStrategy.AttentionSkip:
+            out = out * m + x * (1.0 - m)
+        elif skip_layer_strategy == SkipLayerStrategy.AttentionValues:
+            out = out * m + value_for_stg * (1.0 - m)
+
+    return proj("to_out", out)
+
+
+def _feed_forward(
+    params: dict, x: jnp.ndarray, cfg: DiTConfig,
+) -> jnp.ndarray:
+    h = linear(params["proj_in"], x)
+    if cfg.activation_fn == "gelu-approximate":
+        h = jax.nn.gelu(h, approximate=True)
+    elif cfg.activation_fn == "gelu":
+        h = jax.nn.gelu(h, approximate=False)
+    elif cfg.activation_fn == "geglu":
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * jax.nn.gelu(gate, approximate=False)
+    else:
+        raise ValueError(cfg.activation_fn)
+    return linear(params["proj_out"], h)
+
+
+def _block_apply(
+    params: dict,
+    x: jnp.ndarray,
+    cfg: DiTConfig,
+    freqs_cis: Tuple[jnp.ndarray, jnp.ndarray],
+    timestep: jnp.ndarray,  # [B, 1 or N, n_ada * inner]
+    encoder_hidden_states: Optional[jnp.ndarray],
+    encoder_attention_mask: Optional[jnp.ndarray],
+    skip_layer_mask: Optional[jnp.ndarray],
+    skip_layer_strategy: Optional[SkipLayerStrategy],
+    attention_impl: str = "auto",
+    lora: Optional[dict] = None,
+    lora_scale: float = 1.0,
+) -> jnp.ndarray:
+    """BasicTransformerBlock.forward (attention.py:198-321)."""
+    b = x.shape[0]
+    original_x = x
+    norm_x = _std_norm(params.get("norm1"), x, cfg)
+
+    if cfg.adaptive_norm in ("single_scale_shift", "single_scale"):
+        n_ada = params["scale_shift_table"].shape[0]
+        ada = params["scale_shift_table"][None, None] + timestep.reshape(
+            b, timestep.shape[1], n_ada, -1
+        ).astype(x.dtype)
+        if cfg.adaptive_norm == "single_scale_shift":
+            shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = [
+                ada[:, :, i] for i in range(6)
+            ]
+            norm_x = norm_x * (1 + scale_msa) + shift_msa
+        else:
+            scale_msa, gate_msa, scale_mlp, gate_mlp = [
+                ada[:, :, i] for i in range(4)
+            ]
+            norm_x = norm_x * (1 + scale_msa)
+    else:
+        shift_msa = scale_msa = gate_msa = shift_mlp = scale_mlp = gate_mlp = None
+
+    attn_out = _attention(
+        params["attn1"], norm_x, cfg,
+        freqs_cis=freqs_cis,
+        skip_layer_mask=skip_layer_mask,
+        skip_layer_strategy=skip_layer_strategy,
+        attention_impl=attention_impl,
+        lora=None if lora is None else lora.get("attn1"),
+        lora_scale=lora_scale,
+    )
+    if gate_msa is not None:
+        attn_out = gate_msa * attn_out
+    x = x + attn_out
+
+    if encoder_hidden_states is not None or cfg.cross_attention_dim:
+        attn_in = x
+        if cfg.adaptive_norm == "none" and "attn2_norm" in params:
+            attn_in = _std_norm(params["attn2_norm"], x, cfg)
+        attn_out = _attention(
+            params["attn2"], attn_in, cfg,
+            encoder_hidden_states=encoder_hidden_states,
+            kv_mask=encoder_attention_mask,
+            attention_impl=attention_impl,
+            lora=None if lora is None else lora.get("attn2"),
+            lora_scale=lora_scale,
+        )
+        x = x + attn_out
+
+    norm_x = _std_norm(params.get("norm2"), x, cfg)
+    if cfg.adaptive_norm == "single_scale_shift":
+        norm_x = norm_x * (1 + scale_mlp) + shift_mlp
+    elif cfg.adaptive_norm == "single_scale":
+        norm_x = norm_x * (1 + scale_mlp)
+
+    ff_out = _feed_forward(params["ff"], norm_x, cfg)
+    if gate_mlp is not None:
+        ff_out = gate_mlp * ff_out
+    x = x + ff_out
+
+    if (
+        skip_layer_mask is not None
+        and skip_layer_strategy == SkipLayerStrategy.TransformerBlock
+    ):
+        m = skip_layer_mask.reshape(-1, 1, 1)
+        x = x * m + original_x * (1.0 - m)
+    return x
+
+
+def dit_apply(
+    params: dict,
+    cfg: DiTConfig,
+    hidden_states: jnp.ndarray,  # [B, N, in_channels] tokens
+    indices_grid: jnp.ndarray,  # [B, 3, N]
+    timestep: jnp.ndarray,  # [B] or [B, N] in (0, 1]
+    encoder_hidden_states: Optional[jnp.ndarray] = None,  # [B, L, caption_ch]
+    encoder_attention_mask: Optional[jnp.ndarray] = None,  # [B, L] keep mask
+    skip_layer_mask: Optional[jnp.ndarray] = None,  # [num_layers, B]
+    skip_layer_strategy: Optional[SkipLayerStrategy] = None,
+    attention_impl: str = "auto",
+    lora: Optional[dict] = None,
+    lora_scale: float = 1.0,
+    remat: bool = False,
+) -> jnp.ndarray:
+    """Transformer3DModel.forward (transformer3d.py:361-565) minus the avatar
+    lerp (see :func:`avatar_condition_tokens`). Returns velocity tokens
+    [B, N, out_channels]."""
+    b, n, _ = hidden_states.shape
+    inner = cfg.inner_dim
+    dtype = hidden_states.dtype
+
+    x = linear(params["patchify_proj"], hidden_states)
+
+    t = timestep * cfg.timestep_scale_multiplier
+    freqs_cis = precompute_freqs_cis(
+        indices_grid, dim=inner,
+        theta=cfg.positional_embedding_theta,
+        max_pos=cfg.positional_embedding_max_pos,
+        out_dtype=dtype,
+    )
+
+    # AdaLayerNormSingle: shared embedding + linear to n_ada * inner.
+    embedded_timestep = timestep_embedder(
+        params["adaln_single"]["emb"], t.reshape(-1), dtype=dtype
+    )  # [B*T, inner]
+    ada_timestep = linear(
+        params["adaln_single"]["linear"], jax.nn.silu(embedded_timestep)
+    )
+    ada_timestep = ada_timestep.reshape(b, -1, ada_timestep.shape[-1])
+    embedded_timestep = embedded_timestep.reshape(b, -1, inner)
+
+    if encoder_hidden_states is not None and "caption_projection" in params:
+        cap = params["caption_projection"]
+        eh = linear(cap["linear_1"], encoder_hidden_states.astype(dtype))
+        eh = jax.nn.gelu(eh, approximate=True)
+        eh = linear(cap["linear_2"], eh)
+        encoder_hidden_states = eh.reshape(b, -1, inner)
+
+    for i, block in enumerate(params["blocks"]):
+        slm = None if skip_layer_mask is None else skip_layer_mask[i]
+        block_lora = None if lora is None else lora["blocks"][i]
+
+        def run(bp, xx, slm=slm, block_lora=block_lora):
+            return _block_apply(
+                bp, xx, cfg, freqs_cis, ada_timestep,
+                encoder_hidden_states, encoder_attention_mask,
+                slm, skip_layer_strategy,
+                attention_impl=attention_impl,
+                lora=block_lora, lora_scale=lora_scale,
+            )
+
+        fn = jax.checkpoint(run) if remat else run
+        x = fn(block, x)
+
+    # Output modulation + projection (transformer3d.py:553-561).
+    scale_shift = params["scale_shift_table"][None, None].astype(dtype) + (
+        embedded_timestep[:, :, None]
+    )
+    shift, scale = scale_shift[:, :, 0], scale_shift[:, :, 1]
+    x = layer_norm(x, eps=1e-6)
+    x = x * (1 + scale) + shift
+    return linear(params["proj_out"], x)
+
+
+def avatar_condition_tokens(
+    tokens: jnp.ndarray,  # [B, N, C]
+    ref_image_latents: jnp.ndarray,  # [B, 1, H, W, C] channels-last
+    pose_latents: jnp.ndarray,  # [B, F, H, W, C]
+    ref_lerp: float = 0.85,
+    pose_lerp: float = 0.5,
+) -> jnp.ndarray:
+    """The avatar fork's in-transformer conditioning
+    (transformer3d.py:447-466): un-patchify noisy tokens to latent space,
+    lerp frame 0 toward the reference-image latents (factor 0.85) and frames
+    1+ toward the pose latents (factor 0.5), re-patchify.
+
+    With DiT patch_size 1 the (un)patchify is a pure reshape between
+    [B, N, C] and [B, F, H, W, C].
+    """
+    b, f, h, w, c = pose_latents.shape
+    x = tokens.reshape(b, f, h, w, c)
+    frame0 = x[:, :1] + ref_lerp * (ref_image_latents - x[:, :1])
+    rest = x[:, 1:] + pose_lerp * (pose_latents[:, 1:] - x[:, 1:])
+    x = jnp.concatenate([frame0, rest], axis=1)
+    return x.reshape(b, f * h * w, c)
+
+
+def create_skip_layer_mask(
+    num_layers: int,
+    batch_size: int,
+    num_conds: int,
+    ptb_index: int,
+    skip_block_list: Optional[Sequence[int]] = None,
+) -> Optional[jnp.ndarray]:
+    """transformer3d.py:187-203."""
+    if not skip_block_list:
+        return None
+    mask = jnp.ones((num_layers, batch_size * num_conds), dtype=jnp.float32)
+    for block_idx in skip_block_list:
+        mask = mask.at[block_idx, ptb_index::num_conds].set(0.0)
+    return mask
