@@ -23,7 +23,13 @@ from avatar_tpu.models.vae import (
 
 @pytest.fixture(scope="module")
 def vae():
-    cfg = demo_config(latent_channels=16)
+    import dataclasses
+
+    # Narrower than the reference fixture (base 128) to keep CPU tests fast;
+    # the block grammar and causality properties are width-independent.
+    cfg = dataclasses.replace(
+        demo_config(latent_channels=16), base_channels=32, decoder_base_channels=32
+    )
     params = init_vae(jax.random.PRNGKey(0), cfg)
     return cfg, params
 
