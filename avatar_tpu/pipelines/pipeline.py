@@ -1,0 +1,628 @@
+"""End-to-end LTX-Video generation pipeline, TPU-native.
+
+Re-design of ``LTXVideoPipeline``
+(`/root/reference/ltx_video/pipelines/pipeline_ltx_video.py:209-1990`) around
+XLA's compilation model:
+
+- The whole denoising walk is ONE jit-compiled ``lax.fori_loop`` — per-step
+  guidance / STG / rescale values are arrays indexed by the step counter, so
+  nothing recompiles across steps (the reference warns its loop recompiles
+  when scales change shape, pipeline_ltx_video.py:1084-1087; here the batch
+  layout is static by construction).
+- ``num_conds`` (1-3: [uncond, text, text-perturbed]) is fixed for the whole
+  run from the *maximum* guidance requirements, matching the reference's own
+  advice for compiled execution.
+- Avatar conditioning (reference image + pose frames) is the in-transformer
+  lerp (transformer3d.py:447-466) applied every step via
+  :func:`avatar_condition_tokens`; the generic ``ConditioningItem`` path
+  (first-frame/sequence lerp + extra conditioning tokens,
+  pipeline_ltx_video.py:1381-1585) is also implemented.
+- VAE decode (with decode-time noise + tone mapping) is a second jitted fn.
+
+The reference's bug of passing raw tensors as ``conditioning_items`` in the
+avatar flow (inference.py:456-477 vs pipeline prepare_conditioning) is fixed
+by the intended behavior: avatar runs condition via ref/pose only.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avatar_tpu.diffusion.rf import (
+    RectifiedFlowSchedule,
+    rf_step,
+)
+from avatar_tpu.models.dit import (
+    DiTConfig,
+    SkipLayerStrategy,
+    avatar_condition_tokens,
+    create_skip_layer_mask,
+    dit_apply,
+)
+from avatar_tpu.models.patchifier import patchify, unpatchify
+from avatar_tpu.models.vae import (
+    VAEConfig,
+    vae_decode,
+    vae_encode,
+)
+from avatar_tpu.ops.rope import latent_to_pixel_coords
+
+T_EPS = 1e-6
+
+
+@dataclass
+class ConditioningItem:
+    """A frame/sequence conditioning item (pipeline_ltx_video.py:189-206).
+
+    media_item: [B, F, H, W, 3] channels-last pixels in [-1, 1].
+    """
+
+    media_item: jnp.ndarray
+    media_frame_number: int = 0
+    conditioning_strength: float = 1.0
+    media_x: Optional[int] = None
+    media_y: Optional[int] = None
+
+
+@dataclass
+class GenerationParams:
+    """Static-ish knobs of one generation run (the pipeline __call__
+    signature, pipeline_ltx_video.py:722-766)."""
+
+    height: int
+    width: int
+    num_frames: int
+    frame_rate: float = 25.0
+    num_inference_steps: int = 20
+    skip_initial_inference_steps: int = 0
+    skip_final_inference_steps: int = 0
+    guidance_scale: Union[float, List[float]] = 4.5
+    stg_scale: Union[float, List[float]] = 1.0
+    rescaling_scale: Union[float, List[float]] = 0.7
+    guidance_timesteps: Optional[List[float]] = None
+    cfg_star_rescale: bool = False
+    skip_layer_strategy: Optional[SkipLayerStrategy] = None
+    skip_block_list: Optional[List[int]] = None
+    decode_timestep: Union[float, List[float]] = 0.0
+    decode_noise_scale: Optional[Union[float, List[float]]] = None
+    tone_map_compression_ratio: float = 0.0
+    stochastic_sampling: bool = False
+    image_cond_noise_scale: float = 0.0
+    is_video: bool = True
+    vae_per_channel_normalize: bool = True
+
+
+def tone_map_latents(latents: jnp.ndarray, compression: float) -> jnp.ndarray:
+    """Sigmoid dynamic-range compression (pipeline_ltx_video.py:1843-1882)."""
+    if not 0 <= compression <= 1:
+        raise ValueError("Compression must be in the range [0, 1]")
+    if compression == 0.0:
+        return latents
+    scale_factor = compression * 0.75
+    abs_latents = jnp.abs(latents)
+    sigmoid_term = jax.nn.sigmoid(4.0 * scale_factor * (abs_latents - 1.0))
+    scales = 1.0 - 0.8 * scale_factor * sigmoid_term
+    return latents * scales
+
+
+def adain_filter_latent(
+    latents: jnp.ndarray, reference_latents: jnp.ndarray, factor: float = 1.0
+) -> jnp.ndarray:
+    """Per-(batch, channel) AdaIN toward reference statistics
+    (pipeline_ltx_video.py:1885-1913). Channels-last: stats over (F, H, W)."""
+    axes = (1, 2, 3)
+    r_mean = jnp.mean(reference_latents, axis=axes, keepdims=True)
+    r_std = jnp.std(reference_latents, axis=axes, keepdims=True, ddof=1)
+    i_mean = jnp.mean(latents, axis=axes, keepdims=True)
+    i_std = jnp.std(latents, axis=axes, keepdims=True, ddof=1)
+    result = ((latents - i_mean) / i_std) * r_std + r_mean
+    return latents + factor * (result - latents)
+
+
+def _as_step_array(
+    value: Union[float, List[float]],
+    timesteps: np.ndarray,
+    guidance_timesteps: Optional[List[float]],
+) -> np.ndarray:
+    """Broadcast a scalar or map a per-guidance-timestep list onto the actual
+    schedule (pipeline_ltx_video.py:946-984)."""
+    if not isinstance(value, (list, tuple)):
+        return np.full(len(timesteps), float(value), dtype=np.float32)
+    assert guidance_timesteps is not None, (
+        "list-valued guidance requires guidance_timesteps"
+    )
+    mapping = []
+    for t in timesteps:
+        indices = [i for i, v in enumerate(guidance_timesteps) if v <= t]
+        mapping.append(indices[0] if indices else len(guidance_timesteps) - 1)
+    return np.asarray([value[m] for m in mapping], dtype=np.float32)
+
+
+class LTXVideoPipeline:
+    """Orchestrates schedule prep (host), conditioning (jitted VAE encodes),
+    one jitted denoising loop, and jitted decode."""
+
+    def __init__(
+        self,
+        dit_cfg: DiTConfig,
+        dit_params: dict,
+        vae_cfg: VAEConfig,
+        vae_params: dict,
+        schedule: Optional[RectifiedFlowSchedule] = None,
+        text_encoder=None,
+        patch_size: int = 1,
+        attention_impl: str = "auto",
+        allowed_inference_steps: Optional[List[float]] = None,
+    ):
+        self.dit_cfg = dit_cfg
+        self.dit_params = dit_params
+        self.vae_cfg = vae_cfg
+        self.vae_params = vae_params
+        self.schedule = schedule or RectifiedFlowSchedule.create(
+            sampler="Uniform", shifting="SD3", target_shift_terminal=0.1
+        )
+        self.text_encoder = text_encoder
+        self.patch_size = patch_size
+        self.attention_impl = attention_impl
+        self.allowed_inference_steps = allowed_inference_steps
+        self.video_scale_factor = vae_cfg.temporal_downscale_factor
+        self.vae_scale_factor = vae_cfg.spatial_downscale_factor
+        self._denoise_cache: Dict[Any, Any] = {}
+        self._encode_fn = jax.jit(
+            lambda p, x, key, pcn: vae_encode(
+                p, self.vae_cfg, x, key=key, sample_posterior=True,
+                per_channel_normalize=pcn,
+            ),
+            static_argnames=("pcn",),
+        )
+        self._decode_fn = jax.jit(
+            functools.partial(self._decode_impl),
+            static_argnames=("tone_map", "pcn", "timestep_conditioning"),
+        )
+
+    # -- VAE helpers -----------------------------------------------------
+
+    def encode_media(
+        self, media: jnp.ndarray, key: jax.Array, per_channel_normalize: bool = True
+    ) -> jnp.ndarray:
+        return self._encode_fn(self.vae_params, media, key, per_channel_normalize)
+
+    def _decode_impl(
+        self, vae_params, latents, decode_timestep, decode_noise_scale, key,
+        tone_map: float, pcn: bool, timestep_conditioning: bool,
+    ):
+        if timestep_conditioning:
+            noise = jax.random.normal(key, latents.shape, dtype=latents.dtype)
+            scale = decode_noise_scale.reshape(-1, 1, 1, 1, 1).astype(latents.dtype)
+            latents = latents * (1 - scale) + noise * scale
+        latents = tone_map_latents(latents, tone_map)
+        return vae_decode(
+            vae_params, self.vae_cfg, latents,
+            timestep=decode_timestep if timestep_conditioning else None,
+            per_channel_normalize=pcn,
+        )
+
+    # -- Conditioning ----------------------------------------------------
+
+    def prepare_latents(
+        self,
+        key: jax.Array,
+        latent_shape: Tuple[int, int, int, int, int],  # [B, F, H, W, C]
+        dtype,
+        latents: Optional[jnp.ndarray] = None,
+        media_items: Optional[jnp.ndarray] = None,
+        timestep: float = 1.0,
+        vae_per_channel_normalize: bool = True,
+    ) -> jnp.ndarray:
+        """pipeline_ltx_video.py:592-670 (noise, or media noised to t0)."""
+        assert latents is None or media_items is None
+        if media_items is not None:
+            k_enc, key = jax.random.split(key)
+            latents = self.encode_media(
+                media_items.astype(dtype), k_enc, vae_per_channel_normalize
+            )
+        # Per-sample noise keys: the same sample index draws the same noise
+        # regardless of batch composition (gives the batch-determinism
+        # property the reference tests assert, tests/test_inference.py:106-158).
+        sample_keys = jax.random.split(key, latent_shape[0])
+        noise = jax.vmap(
+            lambda k: jax.random.normal(k, latent_shape[1:], dtype=dtype)
+        )(sample_keys)
+        if latents is None:
+            return noise
+        assert latents.shape == latent_shape, (latents.shape, latent_shape)
+        return timestep * noise + (1 - timestep) * latents.astype(dtype)
+
+    def prepare_conditioning(
+        self,
+        conditioning_items: Optional[List[ConditioningItem]],
+        init_latents: jnp.ndarray,  # [B, F, H, W, C]
+        key: jax.Array,
+        vae_per_channel_normalize: bool = True,
+    ):
+        """Generic ConditioningItem path (pipeline_ltx_video.py:1381-1585).
+
+        Returns (tokens [B,N,C], pixel_coords [B,3,N], conditioning_mask
+        [B,N] or None, num_cond_latents).
+        """
+        b, f_l, h_l, w_l, c_l = init_latents.shape
+        causal_fix = False  # causal_temporal_positioning defaults False
+        scale_factors = (
+            self.video_scale_factor, self.vae_scale_factor, self.vae_scale_factor
+        )
+
+        if not conditioning_items:
+            tokens, coords = patchify(init_latents, self.patch_size)
+            pixel_coords = latent_to_pixel_coords(coords, scale_factors, causal_fix)
+            return tokens, pixel_coords, None, 0
+
+        init_mask = jnp.zeros((b, f_l, h_l, w_l), dtype=jnp.float32)
+        extra_tokens, extra_coords, extra_masks = [], [], []
+        num_extra = 0
+
+        for item in conditioning_items:
+            media = item.media_item
+            frame_no = item.media_frame_number
+            strength = item.conditioning_strength
+            if item.media_x is not None or item.media_y is not None:
+                raise NotImplementedError(
+                    "media_x/media_y spatial placement not yet supported"
+                )
+            assert media.ndim == 5 and media.shape[1] % 8 == 1
+            k_enc, k_noise, key = jax.random.split(key, 3)
+            lat = self.encode_media(media, k_enc, vae_per_channel_normalize).astype(
+                init_latents.dtype
+            )
+
+            if frame_no == 0:
+                fl = lat.shape[1]
+                updated = init_latents[:, :fl] + strength * (
+                    lat - init_latents[:, :fl]
+                )
+                init_latents = init_latents.at[:, :fl].set(updated)
+                init_mask = init_mask.at[:, :fl].set(strength)
+            else:
+                # Non-first sequence: lerp the non-prefix frames in place,
+                # pass the 2-frame prefix on as extra tokens ("concat" mode,
+                # pipeline_ltx_video.py:1761-1821).
+                if lat.shape[1] > 1:
+                    f_l_p = 2
+                    assert frame_no % self.video_scale_factor == 0
+                    start = frame_no // self.video_scale_factor + f_l_p
+                    end = start + lat.shape[1] - f_l_p
+                    if lat.shape[1] > f_l_p:
+                        upd = init_latents[:, start:end] + strength * (
+                            lat[:, f_l_p:] - init_latents[:, start:end]
+                        )
+                        init_latents = init_latents.at[:, start:end].set(upd)
+                        init_mask = init_mask.at[:, start:end].set(strength)
+                    lat = lat[:, :f_l_p]
+                noise = jax.random.normal(k_noise, lat.shape, dtype=lat.dtype)
+                lat = noise + strength * (lat - noise)
+                tok, coords = patchify(lat, self.patch_size)
+                pix = latent_to_pixel_coords(coords, scale_factors, causal_fix)
+                pix = pix.at[:, 0].add(frame_no)
+                num_extra += tok.shape[1]
+                extra_tokens.append(tok)
+                extra_coords.append(pix)
+                extra_masks.append(
+                    jnp.full(tok.shape[:2], strength, dtype=jnp.float32)
+                )
+
+        tokens, coords = patchify(init_latents, self.patch_size)
+        pixel_coords = latent_to_pixel_coords(coords, scale_factors, causal_fix)
+        mask_tokens, _ = patchify(init_mask[..., None], self.patch_size)
+        mask = mask_tokens[..., 0]
+
+        if extra_tokens:
+            tokens = jnp.concatenate(extra_tokens + [tokens], axis=1)
+            pixel_coords = jnp.concatenate(extra_coords + [pixel_coords], axis=2)
+            mask = jnp.concatenate(extra_masks + [mask], axis=1)
+
+        return tokens, pixel_coords, mask, num_extra
+
+    # -- Denoising loop ----------------------------------------------------
+
+    def _get_denoiser(self, statics: tuple):
+        if statics in self._denoise_cache:
+            return self._denoise_cache[statics]
+        (num_conds, do_cfg, do_stg, cfg_star, stochastic, has_cond_mask,
+         has_avatar, has_skip_mask, image_cond_noise_scale, skip_strategy,
+         attention_impl) = statics
+        dit_cfg = self.dit_cfg
+        patch_size = self.patch_size
+
+        def loop(dit_params, lora, latents, init_latents, fractional_coords,
+                 prompt_embeds_b, prompt_mask_b, sigmas, guidance, stg,
+                 rescale, cond_mask, ref_lat, pose_lat, skip_layer_mask, key):
+            b = latents.shape[0]
+
+            def tile(x):
+                return jnp.concatenate([x] * num_conds) if num_conds > 1 else x
+
+            if has_avatar:
+                ref_b, pose_b = tile(ref_lat), tile(pose_lat)
+
+            def body(i, carry):
+                latents, key = carry
+                t = sigmas[i]
+
+                if has_cond_mask and image_cond_noise_scale > 0.0:
+                    # add_noise_to_image_conditioning_latents
+                    # (pipeline_ltx_video.py:566-589)
+                    k = jax.random.fold_in(key, 2 * i)
+                    noise = jax.random.normal(k, latents.shape, latents.dtype)
+                    noised = init_latents + image_cond_noise_scale * noise * t**2
+                    need = (cond_mask > 1.0 - T_EPS)[..., None]
+                    latents = jnp.where(need, noised, latents)
+
+                latent_in = tile(latents)
+                if has_cond_mask:
+                    token_t = jnp.minimum(t, 1.0 - cond_mask)  # [B, N]
+                    current_t = tile(token_t)
+                else:
+                    token_t = t
+                    current_t = jnp.full(
+                        (latent_in.shape[0],), t, dtype=latents.dtype
+                    )
+
+                if has_avatar:
+                    latent_in = avatar_condition_tokens(latent_in, ref_b, pose_b)
+
+                noise_pred = dit_apply(
+                    dit_params, dit_cfg, latent_in, fractional_coords,
+                    current_t, prompt_embeds_b, prompt_mask_b,
+                    skip_layer_mask=skip_layer_mask,
+                    skip_layer_strategy=skip_strategy,
+                    attention_impl=attention_impl,
+                    lora=lora,
+                )
+
+                parts = jnp.split(noise_pred, num_conds, axis=0)
+                if do_cfg and do_stg:
+                    uncond, text, ptb = parts
+                elif do_cfg:
+                    uncond, text = parts
+                    ptb = None
+                elif do_stg:
+                    text, ptb = parts
+                    uncond = None
+                else:
+                    (text,) = parts
+                    uncond = ptb = None
+
+                g = guidance[i]
+                if do_cfg:
+                    if cfg_star:
+                        # cfg_star_rescale (pipeline_ltx_video.py:1225-1238)
+                        pos = text.reshape(b, -1).astype(jnp.float32)
+                        neg = uncond.reshape(b, -1).astype(jnp.float32)
+                        alpha = jnp.sum(pos * neg, axis=1, keepdims=True) / (
+                            jnp.sum(neg**2, axis=1, keepdims=True) + 1e-8
+                        )
+                        uncond = (
+                            alpha.reshape(b, 1, 1).astype(uncond.dtype) * uncond
+                        )
+                    pred = uncond + g * (text - uncond)
+                else:
+                    pred = text
+
+                if do_stg:
+                    sg = stg[i]
+                    pred = pred + sg * (text - ptb)
+                    # rescaling (pipeline_ltx_video.py:1246-1260), applied
+                    # when stg>0 and rescale != 1 — dynamic via where
+                    rs = rescale[i]
+                    text_std = jnp.std(
+                        text.reshape(b, -1).astype(jnp.float32), axis=1,
+                        keepdims=True, ddof=1,
+                    )
+                    pred_std = jnp.std(
+                        pred.reshape(b, -1).astype(jnp.float32), axis=1,
+                        keepdims=True, ddof=1,
+                    )
+                    factor = rs * (text_std / pred_std) + (1 - rs)
+                    apply = (sg > 0.0) & (rs != 1.0)
+                    factor = jnp.where(apply, factor, 1.0)
+                    pred = pred * factor.reshape(b, 1, 1).astype(pred.dtype)
+
+                k_step = jax.random.fold_in(key, 2 * i + 1)
+                denoised = rf_step(
+                    sigmas, pred, token_t, latents,
+                    stochastic_sampling=stochastic,
+                    key=k_step if stochastic else None,
+                )
+                if has_cond_mask:
+                    keep = (t - T_EPS < (1.0 - cond_mask))[..., None]
+                    denoised = jnp.where(keep, denoised, latents)
+                return (denoised, key)
+
+            latents, _ = jax.lax.fori_loop(
+                0, sigmas.shape[0], body, (latents, key)
+            )
+            return latents
+
+        fn = jax.jit(loop)
+        self._denoise_cache[statics] = fn
+        return fn
+
+    # -- Main entry ----------------------------------------------------------
+
+    def __call__(
+        self,
+        params: GenerationParams,
+        key: jax.Array,
+        prompt_embeds: jnp.ndarray,  # [B, L, caption_channels]
+        prompt_attention_mask: jnp.ndarray,  # [B, L]
+        negative_prompt_embeds: Optional[jnp.ndarray] = None,
+        negative_prompt_attention_mask: Optional[jnp.ndarray] = None,
+        latents: Optional[jnp.ndarray] = None,
+        media_items: Optional[jnp.ndarray] = None,
+        conditioning_items: Optional[List[ConditioningItem]] = None,
+        ref_image: Optional[jnp.ndarray] = None,  # [B, 1, H, W, 3]
+        pose_frames: Optional[jnp.ndarray] = None,  # [B, F, H, W, 3]
+        lora: Optional[dict] = None,
+        output_type: str = "np",  # "latent" | "np"
+        dtype=jnp.bfloat16,
+    ):
+        p = params
+        batch_size = prompt_embeds.shape[0]
+        video_scale = self.video_scale_factor if p.is_video else 1
+
+        latent_height = p.height // self.vae_scale_factor
+        latent_width = p.width // self.vae_scale_factor
+        latent_num_frames = p.num_frames // video_scale
+        if p.is_video:
+            latent_num_frames += 1  # causal VAE first-frame slot
+        latent_shape = (
+            batch_size, latent_num_frames, latent_height, latent_width,
+            self.dit_cfg.in_channels,
+        )
+
+        # -- schedule (host-side numpy) --
+        sched = self.schedule.set_timesteps(
+            num_inference_steps=p.num_inference_steps,
+            samples_shape=(batch_size, self.dit_cfg.in_channels,
+                           latent_num_frames, latent_height, latent_width),
+        )
+        timesteps = sched.sigmas
+        if p.skip_initial_inference_steps or p.skip_final_inference_steps:
+            assert (
+                p.skip_initial_inference_steps == 0
+                or latents is not None or media_items is not None
+            ), "skip_initial_inference_steps requires media_items or latents"
+            timesteps = timesteps[
+                p.skip_initial_inference_steps:
+                len(timesteps) - p.skip_final_inference_steps
+            ]
+        if self.allowed_inference_steps is not None:
+            for t in np.round(timesteps, 4):
+                assert t in self.allowed_inference_steps, (
+                    f"Invalid inference timestep {t}"
+                )
+
+        guidance = _as_step_array(p.guidance_scale, timesteps, p.guidance_timesteps)
+        stg = _as_step_array(p.stg_scale, timesteps, p.guidance_timesteps)
+        rescale = _as_step_array(p.rescaling_scale, timesteps, p.guidance_timesteps)
+
+        do_cfg = bool((guidance > 1.0).any())
+        do_stg = bool((stg > 0).any())
+        num_conds = 1 + int(do_cfg) + int(do_stg)
+
+        # -- prompt embeds batch (pipeline_ltx_video.py:1014-1037) --
+        neg = (
+            jnp.zeros_like(prompt_embeds)
+            if negative_prompt_embeds is None else negative_prompt_embeds
+        )
+        neg_mask = (
+            jnp.zeros_like(prompt_attention_mask)
+            if negative_prompt_attention_mask is None
+            else negative_prompt_attention_mask
+        )
+        embed_parts, mask_parts = [], []
+        if do_cfg:
+            embed_parts.append(neg)
+            mask_parts.append(neg_mask)
+        embed_parts.append(prompt_embeds)
+        mask_parts.append(prompt_attention_mask)
+        if do_stg:
+            embed_parts.append(prompt_embeds)
+            mask_parts.append(prompt_attention_mask)
+        prompt_embeds_b = jnp.concatenate(embed_parts).astype(dtype)
+        prompt_mask_b = jnp.concatenate(mask_parts)
+
+        # -- avatar conditioning latents --
+        k_ref, k_pose, k_lat, k_cond, k_loop, k_dec = jax.random.split(key, 6)
+        ref_lat = pose_lat = None
+        if ref_image is not None:
+            ref_lat = self.encode_media(
+                ref_image.astype(dtype), k_ref, p.vae_per_channel_normalize
+            )
+        if pose_frames is not None:
+            pose_lat = self.encode_media(
+                pose_frames.astype(dtype), k_pose, p.vae_per_channel_normalize
+            )
+        has_avatar = ref_lat is not None and pose_lat is not None
+
+        # -- initial latents + conditioning --
+        init = self.prepare_latents(
+            k_lat, latent_shape, dtype, latents=latents,
+            media_items=media_items,
+            timestep=float(timesteps[0]),
+            vae_per_channel_normalize=p.vae_per_channel_normalize,
+        )
+        tokens, pixel_coords, cond_mask, num_cond_latents = (
+            self.prepare_conditioning(
+                conditioning_items, init, k_cond, p.vae_per_channel_normalize
+            )
+        )
+
+        # fractional coords: time axis scaled by 1/frame_rate
+        fractional = pixel_coords.astype(jnp.float32)
+        fractional = fractional.at[:, 0].multiply(1.0 / p.frame_rate)
+        fractional_b = (
+            jnp.concatenate([fractional] * num_conds)
+            if num_conds > 1 else fractional
+        )
+
+        skip_layer_mask = None
+        if do_stg and p.skip_block_list:
+            skip_layer_mask = create_skip_layer_mask(
+                self.dit_cfg.num_layers, batch_size, num_conds,
+                num_conds - 1, p.skip_block_list,
+            )
+
+        statics = (
+            num_conds, do_cfg, do_stg, p.cfg_star_rescale,
+            p.stochastic_sampling, cond_mask is not None, has_avatar,
+            skip_layer_mask is not None, float(p.image_cond_noise_scale),
+            p.skip_layer_strategy, self.attention_impl,
+        )
+        denoiser = self._get_denoiser(statics)
+        sigmas = jnp.asarray(timesteps, dtype=jnp.float32)
+        final_tokens = denoiser(
+            self.dit_params, lora, tokens, tokens, fractional_b,
+            prompt_embeds_b, prompt_mask_b, sigmas,
+            jnp.asarray(guidance), jnp.asarray(stg), jnp.asarray(rescale),
+            cond_mask, ref_lat, pose_lat, skip_layer_mask, k_loop,
+        )
+
+        # strip extra conditioning tokens, un-patchify
+        if num_cond_latents:
+            final_tokens = final_tokens[:, num_cond_latents:]
+        latents_out = unpatchify(
+            final_tokens, latent_num_frames, latent_height, latent_width,
+            self.patch_size,
+        )
+
+        if output_type == "latent":
+            return latents_out
+
+        decode_timestep = p.decode_timestep
+        if not isinstance(decode_timestep, (list, tuple)):
+            decode_timestep = [decode_timestep] * batch_size
+        decode_noise_scale = p.decode_noise_scale
+        if decode_noise_scale is None:
+            decode_noise_scale = decode_timestep
+        elif not isinstance(decode_noise_scale, (list, tuple)):
+            decode_noise_scale = [decode_noise_scale] * batch_size
+
+        images = self._decode_fn(
+            self.vae_params, latents_out,
+            jnp.asarray(decode_timestep, dtype=jnp.float32),
+            jnp.asarray(decode_noise_scale, dtype=jnp.float32),
+            k_dec,
+            tone_map=float(p.tone_map_compression_ratio),
+            pcn=p.vae_per_channel_normalize,
+            timestep_conditioning=self.vae_cfg.timestep_conditioning,
+        )
+        # [-1, 1] -> [0, 1] (VaeImageProcessor.postprocess equivalent)
+        images = jnp.clip(images * 0.5 + 0.5, 0.0, 1.0)
+        return images

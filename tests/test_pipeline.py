@@ -1,0 +1,169 @@
+"""End-to-end pipeline tests on a tiny synthetic model (mirrors the
+reference's tests/test_inference.py strategy: tiny random VAE + 2-layer
+transformer, 1-3 denoising steps, several conditioning modes)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from avatar_tpu.diffusion import RectifiedFlowSchedule
+from avatar_tpu.models.dit import DiTConfig, SkipLayerStrategy, init_dit
+from avatar_tpu.models.vae import demo_config, init_vae
+from avatar_tpu.pipelines import ConditioningItem, GenerationParams, LTXVideoPipeline
+
+H = W = 64
+FRAMES = 9
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    vae_cfg = dataclasses.replace(
+        demo_config(latent_channels=8), base_channels=32, decoder_base_channels=32
+    )
+    dit_cfg = DiTConfig(
+        num_attention_heads=4, attention_head_dim=8, in_channels=8,
+        out_channels=8, num_layers=2, cross_attention_dim=32,
+        caption_channels=32,
+    )
+    vae_params = init_vae(jax.random.PRNGKey(0), vae_cfg)
+    dit_params = init_dit(jax.random.PRNGKey(1), dit_cfg)
+    return LTXVideoPipeline(
+        dit_cfg, dit_params, vae_cfg, vae_params,
+        schedule=RectifiedFlowSchedule.create(
+            sampler="Uniform", shifting="SD3", target_shift_terminal=0.1
+        ),
+        attention_impl="xla",
+    )
+
+
+def _prompt(b=1, l=8, dim=32, key=11):
+    ks = jax.random.split(jax.random.PRNGKey(key), 2)
+    return (
+        jax.random.normal(ks[0], (b, l, dim)),
+        jnp.ones((b, l)),
+    )
+
+
+def _params(**kw):
+    base = dict(
+        height=H, width=W, num_frames=FRAMES, frame_rate=25.0,
+        num_inference_steps=2, guidance_scale=1.0, stg_scale=0.0,
+        rescaling_scale=1.0, decode_timestep=0.05,
+    )
+    base.update(kw)
+    return GenerationParams(**base)
+
+
+def test_unconditional_generation(pipeline):
+    embeds, mask = _prompt()
+    out = pipeline(
+        _params(), jax.random.PRNGKey(0), embeds, mask, dtype=jnp.float32
+    )
+    assert out.shape == (1, FRAMES, H, W, 3)
+    o = np.asarray(out)
+    assert np.isfinite(o).all() and o.min() >= 0.0 and o.max() <= 1.0
+
+
+def test_avatar_ref_pose_generation(pipeline):
+    """The avatar flow: ref image + pose frames drive the in-transformer lerp."""
+    embeds, mask = _prompt()
+    ref = jax.random.normal(jax.random.PRNGKey(2), (1, 1, H, W, 3))
+    pose = jax.random.normal(jax.random.PRNGKey(3), (1, FRAMES, H, W, 3))
+    out = pipeline(
+        _params(), jax.random.PRNGKey(0), embeds, mask,
+        ref_image=ref, pose_frames=pose, dtype=jnp.float32,
+    )
+    assert out.shape == (1, FRAMES, H, W, 3)
+    base = pipeline(_params(), jax.random.PRNGKey(0), embeds, mask, dtype=jnp.float32)
+    assert not np.allclose(np.asarray(out), np.asarray(base), atol=1e-3)
+
+
+def test_first_frame_conditioning(pipeline):
+    """ConditioningItem at frame 0 produces a conditioning mask and freezes
+    hard-conditioned tokens."""
+    embeds, mask = _prompt()
+    image = jax.random.normal(jax.random.PRNGKey(4), (1, 1, H, W, 3))
+    out = pipeline(
+        _params(), jax.random.PRNGKey(0), embeds, mask,
+        conditioning_items=[ConditioningItem(image, 0, 1.0)],
+        dtype=jnp.float32,
+    )
+    assert out.shape == (1, FRAMES, H, W, 3)
+
+
+def test_sequence_and_frame_conditioning(pipeline):
+    """First sequence + non-first frame-0-sequence combo (extra tokens path)."""
+    embeds, mask = _prompt()
+    seq = jax.random.normal(jax.random.PRNGKey(5), (1, FRAMES, H, W, 3))
+    out = pipeline(
+        _params(num_frames=17), jax.random.PRNGKey(0), embeds, mask,
+        conditioning_items=[
+            ConditioningItem(seq, 0, 0.9),
+            ConditioningItem(seq, 8, 0.8),
+        ],
+        dtype=jnp.float32,
+    )
+    assert out.shape == (1, 17, H, W, 3)
+
+
+def test_cfg_and_stg(pipeline):
+    """CFG + STG (3-cond batch) with skip blocks and rescaling."""
+    embeds, mask = _prompt()
+    out = pipeline(
+        _params(
+            guidance_scale=3.0, stg_scale=1.0, rescaling_scale=0.7,
+            skip_block_list=[1], cfg_star_rescale=True,
+        ),
+        jax.random.PRNGKey(0), embeds, mask, dtype=jnp.float32,
+    )
+    assert out.shape == (1, FRAMES, H, W, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_batch_determinism(pipeline):
+    """The same sample index yields identical output across batch sizes
+    (reference tests/test_inference.py:106-158)."""
+    embeds1, mask1 = _prompt(b=1)
+    embeds2 = jnp.concatenate([embeds1, embeds1])
+    mask2 = jnp.concatenate([mask1, mask1])
+    out1 = pipeline(
+        _params(), jax.random.PRNGKey(7), embeds1, mask1,
+        output_type="latent", dtype=jnp.float32,
+    )
+    out2 = pipeline(
+        _params(), jax.random.PRNGKey(7), embeds2, mask2,
+        output_type="latent", dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out1[0]), np.asarray(out2[0]), atol=1e-4
+    )
+
+
+def test_vid2vid_skip_initial_steps(pipeline):
+    embeds, mask = _prompt()
+    media = jax.random.normal(jax.random.PRNGKey(8), (1, FRAMES, H, W, 3))
+    out = pipeline(
+        _params(num_inference_steps=3, skip_initial_inference_steps=1),
+        jax.random.PRNGKey(0), embeds, mask, media_items=media,
+        dtype=jnp.float32,
+    )
+    assert out.shape == (1, FRAMES, H, W, 3)
+
+
+def test_tone_map_and_adain():
+    from avatar_tpu.pipelines import adain_filter_latent, tone_map_latents
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 4, 4, 8))
+    assert np.allclose(np.asarray(tone_map_latents(x, 0.0)), np.asarray(x))
+    y = tone_map_latents(x, 1.0)
+    assert np.abs(np.asarray(y)).max() <= np.abs(np.asarray(x)).max()
+
+    ref = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 4, 4, 8)) * 2 + 1
+    ad = adain_filter_latent(x, ref)
+    # after full AdaIN the per-(b,c) stats match the reference's
+    got_mean = np.asarray(ad).mean(axis=(1, 2, 3))
+    want_mean = np.asarray(ref).mean(axis=(1, 2, 3))
+    np.testing.assert_allclose(got_mean, want_mean, atol=1e-4)
