@@ -1,0 +1,319 @@
+"""Training: jit-compiled LoRA / full fine-tuning of the avatar DiT.
+
+Re-design of `/root/reference/ltx_video/training.py:42-399`:
+
+- ``train_step`` is ONE jitted function per macro-batch: log-normal timestep
+  sampling with quantile clamping (training.py:124-132), rectified-flow
+  noising + velocity-MSE target, the avatar ref/pose lerp, LoRA deltas, and
+  gradient accumulation as an inner ``lax.scan`` over micro-batches — no
+  Python-side ``loss.backward()`` bookkeeping.
+- Only the trainable subtree is differentiated (LoRA + caption_projection in
+  "lora_audio" mode; the reference's named-parameter filter in "full" mode),
+  so frozen 2B weights never get gradient buffers.
+- Parallelism comes from sharding annotations (see avatar_tpu.parallel.mesh)
+  instead of DeepSpeed: batch over ('data','fsdp'), params per
+  TrainConfig.sharding_mode.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from avatar_tpu.core.config import TrainConfig
+from avatar_tpu.diffusion.rf import add_noise, velocity_target
+from avatar_tpu.models.dit import DiTConfig, avatar_condition_tokens, dit_apply
+from avatar_tpu.models.patchifier import patchify
+from avatar_tpu.train.lora import init_lora, lora_scale
+
+FULL_TRAINABLE_KEYS = (
+    # training.py:78-90 named-parameter filter
+    "proj_out",
+    "scale_shift_table",
+    "adaln_single",
+    "caption_projection",
+    "attn1",
+    "attn2",
+)
+
+
+# ---------------------------------------------------------------------------
+# Trainable-subtree partitioning
+# ---------------------------------------------------------------------------
+
+
+def split_full_trainable(params: dict, keys=FULL_TRAINABLE_KEYS):
+    """Extract the trainable subtree for "full" mode.
+
+    Mirrors the reference's substring filter over *torch* parameter names
+    (training.py:78-90): top-level proj_out / scale_shift_table /
+    adaln_single / caption_projection plus every block's attn1 / attn2 /
+    scale_shift_table — NOT the feed-forward (its torch names "ff.net.*"
+    match none of the keys) and not patchify_proj.
+    """
+    top = {
+        k: params[k]
+        for k in ("proj_out", "scale_shift_table", "adaln_single",
+                  "caption_projection")
+        if k in params
+    }
+    blocks = []
+    for block in params["blocks"]:
+        blocks.append(
+            {
+                k: block[k]
+                for k in ("attn1", "attn2", "attn2_norm", "scale_shift_table")
+                if k in block
+            }
+        )
+    top["blocks"] = blocks
+    return top
+
+
+def overlay_params(params, trainable):
+    """Recursively overlay trainable leaves onto the base params tree."""
+    if trainable is None:
+        return params
+    if isinstance(trainable, dict):
+        out = dict(params)
+        for k, v in trainable.items():
+            out[k] = overlay_params(params.get(k), v) if isinstance(
+                v, (dict, list)
+            ) else v
+        return out
+    if isinstance(trainable, list):
+        return [overlay_params(p, t) for p, t in zip(params, trainable)]
+    return trainable
+
+
+# ---------------------------------------------------------------------------
+# Timestep sampling (training.py:124-136)
+# ---------------------------------------------------------------------------
+
+
+def sample_rf_timesteps(
+    key: jax.Array,
+    batch_size: int,
+    mu: float,
+    sigma: float,
+    q_min: float,
+    q_max: float,
+) -> jnp.ndarray:
+    """LogNormal(mu, sigma) -> t = z / (1 + z), clamped to batch quantiles."""
+    z = jnp.exp(mu + sigma * jax.random.normal(key, (batch_size,)))
+    t = z / (1.0 + z)
+    t_low = jnp.quantile(t, q_min)
+    t_high = jnp.quantile(t, q_max)
+    return jnp.clip(t, t_low, t_high)
+
+
+def shift_timesteps_device(
+    t: jnp.ndarray,
+    n_tokens: int,
+    shifting: Optional[str],
+    target_shift_terminal: Optional[float],
+    base_resolution: int,
+) -> jnp.ndarray:
+    """Device-side resolution-dependent shift (rf.py:49-149 semantics; the
+    token count is static so this is pure elementwise math)."""
+    if shifting == "SD3":
+        m = (2.05 - 0.95) / (4096 - 1024)
+        b = 0.95 - m * 1024
+        mu = m * n_tokens + b
+        shifted = math.exp(mu) / (math.exp(mu) + (1.0 / t - 1.0))
+        if target_shift_terminal is not None:
+            one_minus = 1.0 - shifted
+            scale = one_minus[-1] / (1.0 - target_shift_terminal)
+            shifted = 1.0 - one_minus / scale
+        return shifted
+    if shifting == "SimpleDiffusion":
+        snr = (t / (1.0 - t)) ** 2
+        shift_snr = jnp.log(snr) + 2.0 * math.log(n_tokens / base_resolution)
+        return jax.nn.sigmoid(0.5 * shift_snr)
+    return t
+
+
+# ---------------------------------------------------------------------------
+# Loss + train step
+# ---------------------------------------------------------------------------
+
+
+def velocity_loss(
+    trainable: dict,
+    dit_params: dict,
+    dit_cfg: DiTConfig,
+    cfg: TrainConfig,
+    batch: Dict[str, jnp.ndarray],
+    prompt_embeds: jnp.ndarray,
+    prompt_mask: jnp.ndarray,
+    key: jax.Array,
+    train_mode: str,
+    attention_impl: str = "auto",
+    remat: bool = False,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """training.py:94-166 as a pure function over (trainable, batch)."""
+    if train_mode == "lora_audio":
+        lora = trainable["lora"]
+        params = overlay_params(
+            dit_params, {"caption_projection": trainable["caption_projection"]}
+        )
+        scale = lora_scale(cfg.lora_rank, cfg.lora_alpha)
+    else:
+        lora = None
+        params = overlay_params(dit_params, trainable)
+        scale = 1.0
+
+    model_dtype = dit_params["patchify_proj"]["kernel"].dtype
+    latents = batch["latents"].astype(model_dtype)  # [B, F, H, W, C]
+    ref = batch["ref_image_latents"].astype(model_dtype)  # [B, 1, H, W, C]
+    pose = batch["pose_latents"].astype(model_dtype)  # [B, F, H, W, C]
+    b = latents.shape[0]
+
+    tokens, coords = patchify(latents)  # indices_grid = latent coords
+    n_tokens = tokens.shape[1]
+
+    k_t, k_noise = jax.random.split(key)
+    t = sample_rf_timesteps(
+        k_t, b, cfg.rf_log_normal_mu or 0.0, cfg.rf_log_normal_sigma or 1.0,
+        cfg.rf_quantile_min, cfg.rf_quantile_max,
+    )
+    t = shift_timesteps_device(
+        t, n_tokens, cfg.rf_shifting, cfg.rf_target_shift_terminal,
+        cfg.rf_base_resolution,
+    )
+
+    tokens_f32 = tokens.astype(jnp.float32)
+    noise = jax.random.normal(k_noise, tokens.shape, dtype=jnp.float32)
+    noisy = add_noise(tokens_f32, noise, t).astype(model_dtype)
+    v_target = velocity_target(tokens_f32, noise, t)
+
+    cond = avatar_condition_tokens(noisy, ref, pose)
+    embeds = jnp.broadcast_to(
+        prompt_embeds, (b,) + prompt_embeds.shape[1:]
+    ).astype(model_dtype)
+    mask = jnp.broadcast_to(prompt_mask, (b,) + prompt_mask.shape[1:])
+
+    out = dit_apply(
+        params, dit_cfg, cond, coords, t.astype(model_dtype), embeds, mask,
+        attention_impl=attention_impl, lora=lora, lora_scale=scale,
+        remat=remat,
+    )
+
+    out = out.astype(jnp.float32)
+    std_target = jnp.std(v_target, ddof=1)
+    mse = jnp.mean((out - v_target) ** 2)
+    loss = cfg.transformer_loss_weight * mse
+    rel_mse = loss / (std_target**2 + 1e-12)
+    nrmse = jnp.sqrt(loss) / (std_target + 1e-12)
+    metrics = {
+        "loss": loss,
+        "transformer_mse": mse,
+        "rel_mse": rel_mse,
+        "nrmse": nrmse,
+    }
+    return loss, metrics
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    # torch.optim.AdamW defaults (training.py:271): betas (0.9, 0.999),
+    # eps 1e-8, weight_decay 0.01
+    return optax.adamw(
+        cfg.learning_rate or 1e-4, b1=0.9, b2=0.999, eps=1e-8,
+        weight_decay=0.01,
+    )
+
+
+def init_trainable(
+    key: jax.Array, dit_params: dict, dit_cfg: DiTConfig, cfg: TrainConfig
+) -> dict:
+    if cfg.train_mode == "lora_audio":
+        return {
+            "lora": init_lora(key, dit_cfg, cfg.lora_rank),
+            "caption_projection": jax.tree.map(
+                lambda x: x.astype(jnp.float32),
+                dit_params["caption_projection"],
+            ),
+        }
+    trainable = split_full_trainable(dit_params)
+    return jax.tree.map(lambda x: x.astype(jnp.float32), trainable)
+
+
+def make_train_step(
+    dit_cfg: DiTConfig,
+    cfg: TrainConfig,
+    optimizer: optax.GradientTransformation,
+    attention_impl: str = "auto",
+) -> Callable:
+    """Build the jitted macro-batch step.
+
+    batch arrays are shaped [accum, micro_b, ...]; gradient accumulation is
+    a lax.scan over the leading axis with f32 grad accumulators
+    (training.py:199-207 semantics: mean over accumulation steps).
+    """
+    accum = cfg.gradient_accumulation_steps
+    remat = cfg.gradient_checkpointing
+
+    def step(trainable, opt_state, dit_params, batch, prompt_embeds,
+             prompt_mask, key):
+        def grads_for(micro, k):
+            loss_fn = functools.partial(
+                velocity_loss,
+                dit_params=dit_params, dit_cfg=dit_cfg, cfg=cfg,
+                batch=micro, prompt_embeds=prompt_embeds,
+                prompt_mask=prompt_mask, key=k,
+                train_mode=cfg.train_mode, attention_impl=attention_impl,
+                remat=remat,
+            )
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(trainable)
+            return grads, metrics
+
+        if accum > 1:
+            def scan_body(carry, inp):
+                g_acc, i = carry
+                micro = inp
+                g, m = grads_for(micro, jax.random.fold_in(key, i))
+                g_acc = jax.tree.map(lambda a, b: a + b, g_acc, g)
+                return (g_acc, i + 1), m
+
+            zero = jax.tree.map(
+                lambda x: jnp.zeros(x.shape, jnp.float32), trainable
+            )
+            (grads, _), metrics = jax.lax.scan(
+                scan_body, (zero, 0), batch
+            )
+            grads = jax.tree.map(lambda g: g / accum, grads)
+            metrics = jax.tree.map(lambda m: m.mean(), metrics)
+        else:
+            micro = jax.tree.map(lambda x: x[0], batch)
+            grads, metrics = grads_for(micro, key)
+
+        updates, opt_state = optimizer.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, metrics
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def validate_step_fn(
+    dit_cfg: DiTConfig, cfg: TrainConfig, attention_impl: str = "auto"
+) -> Callable:
+    """validation.py:14-95: same noising/velocity MSE without gradients."""
+
+    @jax.jit
+    def step(trainable, dit_params, batch, prompt_embeds, prompt_mask, key):
+        _, metrics = velocity_loss(
+            trainable, dit_params, dit_cfg, cfg, batch,
+            prompt_embeds, prompt_mask, key,
+            train_mode=cfg.train_mode, attention_impl=attention_impl,
+        )
+        return metrics
+
+    return step

