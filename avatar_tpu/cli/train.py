@@ -1,0 +1,257 @@
+"""Training CLI: LoRA / full fine-tune of the avatar DiT on latent pairs.
+
+Re-design of `/root/reference/ltx_video/training.py:228-548` +
+``training_deepspeed.py`` (whose multi-GPU role is covered by the sharding
+mesh — one process, no launcher):
+
+  python -m avatar_tpu.cli.train --config configs/train-avatars.yaml \
+      --train_mode lora_audio
+
+Differences from the reference (deliberate):
+- The whole macro-batch (micro-steps x grad accumulation) is one jitted
+  step; metrics come back once per optimizer update, matching the
+  reference's wandb step cadence (training.py:205-220).
+- Checkpoints: reference-compatible merged safetensors every
+  save_every_n_epochs (with a correctly-tracked best loss — the reference
+  never updates best_loss, training.py:315,395) plus orbax resume state.
+- DP/ZeRO2/FSDP come from TrainConfig.sharding_mode over the device mesh.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TRAIN_PROMPT = "Person speaking naturally, with natual face and body movements"
+
+
+def encode_train_prompt(config, caption_channels: int = 4096):
+    """T5-encode the fixed training prompt (training.py:511-542); falls back
+    to a stored embeddings file, then to zeros with a warning."""
+    if getattr(config, "prompt_embeds_path", None):
+        from avatar_tpu.utils.safetensors_io import load_safetensors
+
+        t, _ = load_safetensors(config.prompt_embeds_path)
+        return jnp.asarray(t["prompt_embeds"]), jnp.asarray(
+            t["prompt_attention_mask"]
+        )
+    try:
+        from transformers import T5TokenizerFast
+
+        from avatar_tpu.models.t5 import encode_prompt, load_t5_encoder
+
+        model_path = getattr(
+            config, "text_encoder_model_name_or_path",
+            "PixArt-alpha/PixArt-XL-2-1024-MS",
+        )
+        t5_cfg, t5_params = load_t5_encoder(model_path)
+        tokenizer = T5TokenizerFast.from_pretrained(model_path, subfolder="tokenizer")
+        return encode_prompt(t5_params, t5_cfg, tokenizer, TRAIN_PROMPT)
+    except Exception as e:  # no local T5 weights
+        print(f"[train] T5 unavailable ({e}); using zero prompt embeddings")
+        return (
+            jnp.zeros((1, 256, caption_channels), jnp.float32),
+            jnp.ones((1, 256)),
+        )
+
+
+def train_loop(config, resume: bool = True):
+    from avatar_tpu.data.dataset import LatentPairDataset, epoch_batches
+    from avatar_tpu.models.dit import DiTConfig
+    from avatar_tpu.parallel import make_mesh, param_sharding, shard_pytree
+    from avatar_tpu.train.checkpoints import (
+        TrainStateCheckpointer, export_training_checkpoint,
+    )
+    from avatar_tpu.train.train import (
+        init_trainable, make_optimizer, make_train_step, validate_step_fn,
+    )
+    from avatar_tpu.utils.metrics import MetricsLogger
+    from avatar_tpu.utils.weight_import import (
+        import_transformer_state, load_single_file_checkpoint,
+    )
+
+    # -- model --
+    configs, t_state, _ = load_single_file_checkpoint(config.checkpoint_path)
+    dit_cfg = DiTConfig.from_dict(configs["transformer"])
+    dit_params = import_transformer_state(t_state, dit_cfg)
+    if config.precision in ("bfloat16", "bf16"):
+        dit_params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), dit_params)
+
+    # -- mesh + sharding --
+    mesh = make_mesh(data=config.mesh_data, fsdp=config.mesh_fsdp)
+    p_shard = param_sharding(mesh, dit_params, mode=config.sharding_mode)
+    dit_params = shard_pytree(dit_params, p_shard)
+
+    trainable = init_trainable(jax.random.PRNGKey(config.seed), dit_params,
+                               dit_cfg, config)
+    t_shard = param_sharding(mesh, trainable, mode=config.sharding_mode)
+    trainable = shard_pytree(trainable, t_shard)
+
+    optimizer = make_optimizer(config)
+    opt_state = optimizer.init(trainable)
+    step_fn = make_train_step(dit_cfg, config, optimizer)
+    val_fn = validate_step_fn(dit_cfg, config)
+
+    # -- data --
+    dataset = LatentPairDataset(
+        config.condition_latents_dir, config.encoder_latents_dir
+    )
+    val_dataset = None
+    if config.val_condition_latents_dir and config.val_encoder_latents_dir:
+        val_dataset = LatentPairDataset(
+            config.val_condition_latents_dir, config.val_encoder_latents_dir
+        )
+    print(f"[train] {len(dataset)} train clips"
+          + (f", {len(val_dataset)} val clips" if val_dataset else ""))
+
+    prompt_embeds, prompt_mask = encode_train_prompt(
+        config, dit_cfg.caption_channels
+    )
+
+    # -- logging / checkpoints --
+    n_trainable = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(trainable))
+    n_total = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(dit_params))
+    print(f"[params] total={n_total} trainable={n_trainable}")
+    logger = MetricsLogger(
+        output_dir=config.output_dir,
+        wandb_project=config.wandb_project,
+        wandb_run_name=config.wandb_run_name,
+        wandb_config={
+            "batch_size": config.batch_size,
+            "learning_rate": config.learning_rate,
+            "num_epochs": config.num_epochs,
+            "lora_rank": config.lora_rank,
+            "lora_alpha": config.lora_alpha,
+            "checkpoint_path": config.checkpoint_path,
+            "precision": config.precision,
+        },
+    )
+    logger.set_summary(trainable_params=n_trainable, total_params=n_total)
+
+    checkpointer = None
+    global_step = 0
+    start_epoch = 0
+    if config.output_dir:
+        checkpointer = TrainStateCheckpointer(Path(config.output_dir) / "state")
+        if resume and checkpointer.latest_step() is not None:
+            step, restored = checkpointer.restore(
+                template={"trainable": trainable, "opt_state": opt_state,
+                          "extra": {"epoch": 0}}
+            )
+            # orbax restores onto default devices; re-place on the mesh
+            from avatar_tpu.parallel import opt_state_sharding
+
+            trainable = shard_pytree(restored["trainable"], t_shard)
+            o_shard = opt_state_sharding(
+                mesh, opt_state, t_shard, mode=config.sharding_mode
+            )
+            opt_state = jax.tree.map(
+                lambda r, s: jax.device_put(r, s),
+                restored["opt_state"], o_shard,
+            )
+            global_step = step
+            start_epoch = int(restored.get("extra", {}).get("epoch", 0))
+            print(f"[train] resumed from step {global_step} (epoch {start_epoch})")
+
+    best_loss = float("inf")
+    key = jax.random.PRNGKey(config.seed + 1)
+
+    with mesh:
+        for epoch in range(start_epoch, config.num_epochs or 0):
+            losses = []
+            for batch in epoch_batches(
+                dataset, config.batch_size,
+                config.gradient_accumulation_steps,
+                seed=config.seed, epoch=epoch,
+            ):
+                key, k_step = jax.random.split(key)
+                arrays = {
+                    k: jnp.asarray(v) for k, v in batch.items() if k != "stem"
+                }
+                trainable, opt_state, metrics = step_fn(
+                    trainable, opt_state, dit_params, arrays,
+                    prompt_embeds, prompt_mask, k_step,
+                )
+                global_step += 1
+                loss = float(metrics["loss"])
+                losses.append(loss)
+                if global_step % config.log_every_n_steps == 0:
+                    logger.log(global_step, {
+                        "train/loss": loss,
+                        "train/rel_mse": float(metrics["rel_mse"]),
+                        "train/nrmse": float(metrics["nrmse"]),
+                        "train/transformer_mse": float(metrics["transformer_mse"]),
+                        "train/epoch": epoch,
+                        "train/lr": config.learning_rate,
+                    })
+
+            epoch_loss = sum(losses) / len(losses) if losses else 0.0
+            logger.log(global_step, {"train/epoch_loss": epoch_loss})
+            print(f"Epoch {epoch + 1} finished. Average loss: {epoch_loss:.6f}")
+
+            if val_dataset is not None:
+                val_losses = []
+                for batch in epoch_batches(
+                    val_dataset, config.batch_size, 1,
+                    seed=0, epoch=0, shuffle=False,
+                ):
+                    micro = {
+                        k: jnp.asarray(v[0]) for k, v in batch.items()
+                        if k != "stem"
+                    }
+                    m = val_fn(trainable, dit_params, micro,
+                               prompt_embeds, prompt_mask,
+                               jax.random.PRNGKey(epoch))
+                    val_losses.append(float(m["loss"]))
+                if val_losses:
+                    val_loss = sum(val_losses) / len(val_losses)
+                    logger.log(global_step, {"val/loss": val_loss,
+                                             "val/epoch": epoch})
+                    print(f"Validation epoch {epoch + 1}, loss: {val_loss:.6f}")
+
+            if config.output_dir and (epoch + 1) % config.save_every_n_epochs == 0:
+                is_best = epoch_loss < best_loss
+                best_loss = min(best_loss, epoch_loss)
+                path = export_training_checkpoint(
+                    Path(config.output_dir) / f"model_epoch_{epoch + 1}.safetensors",
+                    dit_params, dit_cfg, trainable, config,
+                    metadata={"epoch": str(epoch + 1),
+                              "global_step": str(global_step)},
+                    is_best=is_best,
+                )
+                print(f"[train] saved {path}")
+                checkpointer.save(
+                    global_step, trainable, opt_state,
+                    extra={"epoch": epoch + 1},
+                )
+
+    if checkpointer is not None:
+        checkpointer.manager.wait_until_finished()
+        checkpointer.close()
+    logger.finish()
+    print("Training complete!")
+    return trainable
+
+
+def main():
+    parser = argparse.ArgumentParser(description="avatar_tpu training")
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument(
+        "--train_mode", type=str, choices=["full", "lora_audio"], default="full"
+    )
+    parser.add_argument("--no_resume", action="store_true")
+    args, _ = parser.parse_known_args()
+
+    from avatar_tpu.core.config import load_train_config_from_yaml
+
+    config = load_train_config_from_yaml(args.config)
+    config.train_mode = args.train_mode
+    train_loop(config, resume=not args.no_resume)
+
+
+if __name__ == "__main__":
+    main()
