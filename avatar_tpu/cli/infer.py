@@ -73,17 +73,41 @@ def create_ltx_video_pipeline(
     precision: str = "bfloat16",
     sampler: Optional[str] = None,
     attention_impl: str = "auto",
+    vae_ckpt_path: Optional[str] = None,
 ):
     """inference.py:194-251: VAE + transformer + RF schedule from one
-    single-file safetensors."""
+    single-file safetensors. Fine-tuned exports are transformer-only; the
+    VAE then comes from ``vae_checkpoint_path`` (the base checkpoint)."""
     import jax
     import jax.numpy as jnp
 
     from avatar_tpu.diffusion import RectifiedFlowSchedule
+    from avatar_tpu.models.dit import DiTConfig
+    from avatar_tpu.models.vae import VAEConfig
+    from avatar_tpu.utils.weight_import import (
+        import_transformer_state,
+        import_vae_state,
+        load_single_file_checkpoint,
+    )
     from avatar_tpu.pipelines import LTXVideoPipeline
-    from avatar_tpu.utils.weight_import import load_checkpoint
 
-    dit_cfg, dit_params, vae_cfg, vae_params, sched_cfg = load_checkpoint(ckpt_path)
+    configs, t_state, v_state = load_single_file_checkpoint(ckpt_path)
+    dit_cfg = DiTConfig.from_dict(configs["transformer"])
+    dit_params = import_transformer_state(t_state, dit_cfg)
+    sched_cfg = configs.get("scheduler")
+
+    if not v_state and vae_ckpt_path:
+        v_configs, _, v_state = load_single_file_checkpoint(vae_ckpt_path)
+        vae_config_dict = v_configs.get("vae", configs.get("vae"))
+    else:
+        vae_config_dict = configs.get("vae")
+    if not v_state:
+        raise ValueError(
+            f"{ckpt_path} has no VAE weights; set vae_checkpoint_path in the "
+            "pipeline config to the base checkpoint."
+        )
+    vae_cfg = VAEConfig.from_dict(vae_config_dict)
+    vae_params = import_vae_state(v_state, vae_cfg)
     if precision in ("bfloat16", "bf16"):
         cast = lambda t: jax.tree.map(lambda x: x.astype(jnp.bfloat16), t)  # noqa: E731
         dit_params, vae_params = cast(dit_params), cast(vae_params)
@@ -167,6 +191,7 @@ def infer(config: InferenceConfig):
         pipeline_config["checkpoint_path"],
         precision=pipeline_config.get("precision", "bfloat16"),
         sampler=pipeline_config.get("sampler"),
+        vae_ckpt_path=pipeline_config.get("vae_checkpoint_path"),
     )
 
     # multi-scale wrapper when configured

@@ -315,9 +315,9 @@ def _block_apply(
 
     if cfg.adaptive_norm in ("single_scale_shift", "single_scale"):
         n_ada = params["scale_shift_table"].shape[0]
-        ada = params["scale_shift_table"][None, None] + timestep.reshape(
-            b, timestep.shape[1], n_ada, -1
-        ).astype(x.dtype)
+        ada = params["scale_shift_table"].astype(x.dtype)[
+            None, None
+        ] + timestep.reshape(b, timestep.shape[1], n_ada, -1).astype(x.dtype)
         if cfg.adaptive_norm == "single_scale_shift":
             shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = [
                 ada[:, :, i] for i in range(6)

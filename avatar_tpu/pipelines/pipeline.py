@@ -383,7 +383,7 @@ class LTXVideoPipeline:
                     skip_layer_strategy=skip_strategy,
                     attention_impl=attention_impl,
                     lora=lora,
-                )
+                ).astype(latents.dtype)
 
                 parts = jnp.split(noise_pred, num_conds, axis=0)
                 if do_cfg and do_stg:
