@@ -468,6 +468,8 @@ class LTXVideoPipeline:
         conditioning_items: Optional[List[ConditioningItem]] = None,
         ref_image: Optional[jnp.ndarray] = None,  # [B, 1, H, W, 3]
         pose_frames: Optional[jnp.ndarray] = None,  # [B, F, H, W, 3]
+        ref_latents: Optional[jnp.ndarray] = None,  # pre-encoded [B,1,h,w,C]
+        pose_latents: Optional[jnp.ndarray] = None,  # pre-encoded [B,f,h,w,C]
         lora: Optional[dict] = None,
         output_type: str = "np",  # "latent" | "np"
         dtype=jnp.bfloat16,
@@ -540,7 +542,8 @@ class LTXVideoPipeline:
 
         # -- avatar conditioning latents --
         k_ref, k_pose, k_lat, k_cond, k_loop, k_dec = jax.random.split(key, 6)
-        ref_lat = pose_lat = None
+        ref_lat = None if ref_latents is None else ref_latents.astype(dtype)
+        pose_lat = None if pose_latents is None else pose_latents.astype(dtype)
         if ref_image is not None:
             ref_lat = self.encode_media(
                 ref_image.astype(dtype), k_ref, p.vae_per_channel_normalize
