@@ -255,6 +255,7 @@ def infer(config: InferenceConfig):
         media_items=media_items,
         ref_image=jnp.asarray(conditioning[0]) if conditioning else None,
         pose_frames=jnp.asarray(conditioning[1]) if len(conditioning) > 1 else None,
+        output_type="uint8",  # device-side quantization (4x smaller fetch)
     )
 
     # crop padding + trim to requested frames (inference.py:479-492)

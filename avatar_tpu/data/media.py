@@ -217,7 +217,10 @@ def write_video(
     PNG frame directory next to the requested path."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    video_u8 = (np.clip(video, 0, 1) * 255).astype(np.uint8)
+    if video.dtype == np.uint8:
+        video_u8 = video
+    else:
+        video_u8 = (np.clip(video, 0, 1) * 255).astype(np.uint8)
     if video_u8.shape[0] == 1 or str(path).endswith(".png"):
         Image.fromarray(video_u8[0]).save(str(path))
         return

@@ -78,8 +78,10 @@ class LTXMultiScalePipeline:
         p2 = dataclasses.replace(
             params, width=down_w * 2, height=down_h * 2, **(second_pass or {})
         )
+        # resize happens in float; quantize after when uint8 was requested
+        inner_output = "np" if output_type == "uint8" else output_type
         result = vp(
-            p2, k2, *args, latents=upsampled, output_type=output_type, **kwargs
+            p2, k2, *args, latents=upsampled, output_type=inner_output, **kwargs
         )
         if output_type == "latent":
             return result
@@ -90,4 +92,6 @@ class LTXMultiScalePipeline:
             result = jax.image.resize(
                 result, (b, f, orig_h, orig_w, c), method="bilinear"
             )
+        if output_type == "uint8":
+            result = (jnp.clip(result, 0, 1) * 255.0 + 0.5).astype(jnp.uint8)
         return result
