@@ -1,4 +1,5 @@
 from avatar_tpu.parallel.mesh import (
+    dit_param_sharding,
     make_mesh,
     batch_sharding,
     param_sharding,
@@ -8,6 +9,7 @@ from avatar_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "dit_param_sharding",
     "make_mesh",
     "batch_sharding",
     "param_sharding",

@@ -74,6 +74,67 @@ def param_sharding(mesh: Mesh, params, mode: str = "fsdp", min_size: int = 2**16
     return jax.tree.map(spec_for, params)
 
 
+def dit_param_sharding(
+    mesh: Mesh, dit_params, mode: str = "fsdp", min_size: int = 2**16
+):
+    """Megatron-style tensor parallelism for the DiT over the 'tp' axis,
+    composed with the fsdp rules:
+
+    - attn to_q/to_k/to_v and ff proj_in: column-parallel (output dim over
+      'tp' — heads/FFN columns split, no communication inside);
+    - attn to_out and ff proj_out: row-parallel (input dim over 'tp'; XLA
+      inserts the psum after the matmul);
+    - everything else follows :func:`param_sharding`.
+
+    The reference has no TP at all (SURVEY §2.11); this covers >1-chip
+    inference of larger DiT variants.
+    """
+    tp = mesh.shape["tp"]
+    base = param_sharding(mesh, dit_params, mode=mode, min_size=min_size)
+    if tp == 1:
+        return base
+
+    fsdp = mesh.shape["fsdp"]
+
+    def linear_spec(kernel, shard_axis: int) -> NamedSharding:
+        shape = kernel.shape
+        spec = [None, None]
+        if shape[shard_axis] % tp == 0:
+            spec[shard_axis] = "tp"
+        other = 1 - shard_axis
+        if mode == "fsdp" and fsdp > 1 and shape[other] % fsdp == 0:
+            spec[other] = "fsdp"
+        return NamedSharding(mesh, P(*spec))
+
+    def shard_attn(attn, base_attn):
+        out = dict(base_attn)
+        for name, axis in (("to_q", 1), ("to_k", 1), ("to_v", 1), ("to_out", 0)):
+            p = dict(out[name])
+            p["kernel"] = linear_spec(attn[name]["kernel"], axis)
+            if "bias" in attn[name] and axis == 1:
+                p["bias"] = NamedSharding(mesh, P("tp"))
+            out[name] = p
+        return out
+
+    result = jax.tree.map(lambda s: s, base)  # copy structure
+    for i, block in enumerate(dit_params["blocks"]):
+        for attn_name in ("attn1", "attn2"):
+            result["blocks"][i][attn_name] = shard_attn(
+                block[attn_name], base["blocks"][i][attn_name]
+            )
+        ff = block["ff"]
+        ff_spec = dict(result["blocks"][i]["ff"])
+        pin = dict(ff_spec["proj_in"])
+        pin["kernel"] = linear_spec(ff["proj_in"]["kernel"], 1)
+        if "bias" in ff["proj_in"]:
+            pin["bias"] = NamedSharding(mesh, P("tp"))
+        pout = dict(ff_spec["proj_out"])
+        pout["kernel"] = linear_spec(ff["proj_out"]["kernel"], 0)
+        ff_spec["proj_in"], ff_spec["proj_out"] = pin, pout
+        result["blocks"][i]["ff"] = ff_spec
+    return result
+
+
 def opt_state_sharding(mesh: Mesh, opt_state, params_sharding, mode: str = "fsdp"):
     """Optimizer-state sharding: ZeRO-2 shards moments over 'fsdp' even when
     params are replicated; fsdp mode mirrors the param shardings; dp
