@@ -8,7 +8,7 @@ accepted and mapped onto the sharding mode so existing YAMLs keep working.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import yaml

@@ -20,7 +20,7 @@ Differences from the reference (deliberate, TPU-first):
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Sequence, Tuple, Union
 
 import jax

@@ -14,7 +14,7 @@ the reference; imported checkpoints overwrite these anyway.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

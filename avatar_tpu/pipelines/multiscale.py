@@ -7,7 +7,7 @@ low-res pass -> latent-space 2x upsample -> AdaIN to first-pass statistics
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

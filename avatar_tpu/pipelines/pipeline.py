@@ -27,7 +27,6 @@ by the intended behavior: avatar runs condition via ref/pose only.
 from __future__ import annotations
 
 import functools
-import math
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 

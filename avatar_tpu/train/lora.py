@@ -10,7 +10,7 @@ checkpoints are plain single-file safetensors.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ Layout transforms (torch -> ours):
 from __future__ import annotations
 
 import json
-import re
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
