@@ -266,13 +266,19 @@ class LTXVideoPipeline:
         extra_tokens, extra_coords, extra_masks = [], [], []
         num_extra = 0
 
+        height = h_l * self.vae_scale_factor
+        width = w_l * self.vae_scale_factor
         for item in conditioning_items:
             media = item.media_item
             frame_no = item.media_frame_number
             strength = item.conditioning_strength
-            if item.media_x is not None or item.media_y is not None:
-                raise NotImplementedError(
-                    "media_x/media_y spatial placement not yet supported"
+            has_position = item.media_x is not None or item.media_y is not None
+            if not has_position and media.shape[2:4] != (height, width):
+                # _resize_conditioning_item (pipeline_ltx_video.py:1684-1698)
+                b_m, f_m = media.shape[:2]
+                media = jax.image.resize(
+                    media, (b_m, f_m, height, width, media.shape[-1]),
+                    method="bilinear",
                 )
             assert media.ndim == 5 and media.shape[1] % 8 == 1
             k_enc, k_noise, key = jax.random.split(key, 3)
@@ -281,12 +287,41 @@ class LTXVideoPipeline:
             )
 
             if frame_no == 0:
-                fl = lat.shape[1]
-                updated = init_latents[:, :fl] + strength * (
-                    lat - init_latents[:, :fl]
+                # spatial placement + border strip
+                # (_get_latent_spatial_position, pipeline_ltx_video.py:1700-1745)
+                scale = self.vae_scale_factor
+                h_m, w_m = media.shape[2:4]
+                assert h_m <= height and w_m <= width
+                assert h_m % scale == 0 and w_m % scale == 0
+                x_start = (width - w_m) // 2 if item.media_x is None else item.media_x
+                y_start = (height - h_m) // 2 if item.media_y is None else item.media_y
+                x_end, y_end = x_start + w_m, y_start + h_m
+                assert x_end <= width and y_end <= height, (
+                    f"conditioning {x_start}:{x_end}x{y_start}:{y_end} out of "
+                    f"bounds for {width}x{height}"
                 )
-                init_latents = init_latents.at[:, :fl].set(updated)
-                init_mask = init_mask.at[:, :fl].set(strength)
+                # strip border latents that don't align with target borders
+                if x_start > 0:
+                    x_start += scale
+                    lat = lat[:, :, :, 1:]
+                if y_start > 0:
+                    y_start += scale
+                    lat = lat[:, :, 1:]
+                if x_end < width:
+                    lat = lat[:, :, :, :-1]
+                if y_end < height:
+                    lat = lat[:, :, :-1]
+                l_x, l_y = x_start // scale, y_start // scale
+
+                fl, hl_m, wl_m = lat.shape[1:4]
+                region = init_latents[:, :fl, l_y : l_y + hl_m, l_x : l_x + wl_m]
+                updated = region + strength * (lat - region)
+                init_latents = init_latents.at[
+                    :, :fl, l_y : l_y + hl_m, l_x : l_x + wl_m
+                ].set(updated)
+                init_mask = init_mask.at[
+                    :, :fl, l_y : l_y + hl_m, l_x : l_x + wl_m
+                ].set(strength)
             else:
                 # Non-first sequence: lerp the non-prefix frames in place,
                 # pass the 2-frame prefix on as extra tokens ("concat" mode,

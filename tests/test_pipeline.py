@@ -167,3 +167,23 @@ def test_tone_map_and_adain():
     got_mean = np.asarray(ad).mean(axis=(1, 2, 3))
     want_mean = np.asarray(ref).mean(axis=(1, 2, 3))
     np.testing.assert_allclose(got_mean, want_mean, atol=1e-4)
+
+
+def test_offcenter_conditioning_item(pipeline):
+    """media_x/media_y spatial placement with latent border stripping
+    (pipeline_ltx_video.py:1700-1745): a 64px patch at x=64 of a 128px frame
+    keeps one latent column at x=3 after the border strip."""
+    # 128px target -> 4x4 latents at 32x downscale; 64px patch -> 2x2 latents
+    patch = jax.random.normal(jax.random.PRNGKey(10), (1, 1, 64, 64, 3))
+    item = ConditioningItem(patch, 0, 1.0, media_x=64, media_y=0)
+    init = jnp.zeros((1, 2, 4, 4, 8))
+    tokens, coords, cmask, n_extra = pipeline.prepare_conditioning(
+        [item], init, jax.random.PRNGKey(1)
+    )
+    assert n_extra == 0
+    m = np.array(np.asarray(cmask).reshape(1, 2, 4, 4))
+    # x_start 64 -> strip left border -> latent x = 96/32 = 3; bottom row
+    # stripped (y_end < height) -> only (frame 0, y 0, x 3) is conditioned
+    assert m[0, 0, 0, 3] == 1.0
+    m[0, 0, 0, 3] = 0.0
+    assert m.max() == 0.0
