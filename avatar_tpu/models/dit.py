@@ -392,6 +392,7 @@ def dit_apply(
     lora: Optional[dict] = None,
     lora_scale: float = 1.0,
     remat: bool = False,
+    freqs_cis: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> jnp.ndarray:
     """Transformer3DModel.forward (transformer3d.py:361-565) minus the avatar
     lerp (see :func:`avatar_condition_tokens`). Returns velocity tokens
@@ -403,12 +404,14 @@ def dit_apply(
     x = linear(params["patchify_proj"], hidden_states)
 
     t = timestep * cfg.timestep_scale_multiplier
-    freqs_cis = precompute_freqs_cis(
-        indices_grid, dim=inner,
-        theta=cfg.positional_embedding_theta,
-        max_pos=cfg.positional_embedding_max_pos,
-        out_dtype=dtype,
-    )
+    if freqs_cis is None:
+        # callers in step loops should precompute once (loop-invariant)
+        freqs_cis = precompute_freqs_cis(
+            indices_grid, dim=inner,
+            theta=cfg.positional_embedding_theta,
+            max_pos=cfg.positional_embedding_max_pos,
+            out_dtype=dtype,
+        )
 
     # AdaLayerNormSingle: shared embedding + linear to n_ada * inner.
     embedded_timestep = timestep_embedder(

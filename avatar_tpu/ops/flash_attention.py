@@ -8,16 +8,18 @@ multiples internally and masks the padding, which removes the manual
 "pad to 128 / pad to 512" dances at `attention.py:1040-1045` and
 `causal_video_autoencoder.py:930-959`.
 
-Design: classic online-softmax flash attention.
+Forward: classic online-softmax flash attention.
   grid = (B*H, num_q_blocks, num_kv_blocks), kv innermost.
-  Scratch (VMEM, fp32): running max m [Bq,1], running sum l [Bq,1],
-  accumulator acc [Bq, D].  At the last kv block the normalized output is
-  written back in the input dtype.
+  Scratch (VMEM, fp32): running max m, running sum l, accumulator acc.
+  The last kv block writes the normalized output and the per-row
+  log-sum-exp (saved for the backward pass).
 
-The kernel is wrapped in a ``jax.custom_vjp``: the backward pass currently
-recomputes attention with XLA einsums (exact, O(L^2) memory) — fine for the
-<=8k-token sequences this model family uses in training; a fused backward
-kernel is a later optimization.
+Backward: fused Pallas kernels (no O(L^2) materialization):
+  delta = rowsum(dO * O)                       (plain XLA, elementwise)
+  dKV kernel, grid (B*H, nk, nq):  p = exp(s - lse); dV += p^T dO;
+    ds = p * (dO V^T - delta) * scale; dK += ds^T Q
+  dQ kernel,  grid (B*H, nq, nk):  dQ += ds K
+Both recompute p blockwise from the saved lse — memory stays O(L * D).
 """
 
 from __future__ import annotations
@@ -34,15 +36,44 @@ from jax.experimental.pallas import tpu as pltpu
 # L=2640 (DiT inference seq) and ~65 TFLOP/s at L=8192 (see bench notes).
 DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_KV = 1024
+# Backward keeps more live block temporaries; cap blocks lower for VMEM.
+DEFAULT_BWD_BLOCK = 512
 NEG_INF = -1e30
+LSE_MASKED = 1e30  # lse placeholder for fully-masked rows -> p == 0 in bwd
 
 
-def _attn_kernel(
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def supports(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> bool:
+    """Whether the Pallas kernel handles these shapes profitably."""
+    if q.ndim != 4 or k.ndim != 4 or v.ndim != 4:
+        return False
+    head_dim = q.shape[-1]
+    if head_dim % 8 != 0 or head_dim > 512:
+        return False
+    # Tiny sequences gain nothing from the kernel.
+    return q.shape[2] * k.shape[2] >= 128 * 128
+
+
+def _interpret() -> bool:
+    # On CPU (unit tests, debugging) run kernels in interpreter mode.
+    return jax.default_backend() == "cpu"
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
     q_ref,  # [1, Bq, D]
     k_ref,  # [1, Bk, D]
     v_ref,  # [1, Bk, D]
-    mask_ref,  # [1, Bk] fp32 keep mask (1=attend) or None
+    mask_ref,  # [1, 1, Bk] fp32 keep mask (1=attend) or None
     o_ref,  # [1, Bq, D]
+    lse_ref,  # [1, 1, Bq] fp32
     m_scratch,  # [Bq, 128] fp32
     l_scratch,  # [Bq, 128] fp32
     acc_scratch,  # [Bq, D] fp32
@@ -92,39 +123,25 @@ def _attn_kernel(
 
     @pl.when(kv_idx == num_kv_blocks - 1)
     def _finalize():
+        m = m_scratch[:][:, :1]
         l = l_scratch[:][:, :1]
-        # Fully-masked rows (l == 0) produce 0 output instead of NaN.
+        # Fully-masked rows (l == 0) produce 0 output instead of NaN, and an
+        # lse sentinel that keeps the backward p at exactly 0.
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_scratch[:] / l_safe).astype(o_ref.dtype)
+        lse = jnp.where(l == 0.0, LSE_MASKED, m + jnp.log(l_safe))  # [Bq, 1]
+        lse_ref[0, 0] = lse[:, 0]
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+def _fwd_kernel_nomask(q_ref, k_ref, v_ref, o_ref, lse_ref, m, l, acc, *,
+                       scale, num_kv_blocks):
+    _fwd_kernel(q_ref, k_ref, v_ref, None, o_ref, lse_ref, m, l, acc,
+                scale=scale, num_kv_blocks=num_kv_blocks)
 
 
-def supports(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> bool:
-    """Whether the Pallas kernel handles these shapes profitably."""
-    if q.ndim != 4 or k.ndim != 4 or v.ndim != 4:
-        return False
-    head_dim = q.shape[-1]
-    if head_dim % 8 != 0 or head_dim > 512:
-        return False
-    # Tiny sequences gain nothing from the kernel.
-    return q.shape[2] * k.shape[2] >= 128 * 128
-
-
-def _flash_forward(
-    q: jnp.ndarray,
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    kv_mask: Optional[jnp.ndarray],
-    scale: float,
-    block_q: int,
-    block_kv: int,
-) -> jnp.ndarray:
+def _pad_inputs(q, k, v, kv_mask, block_q, block_kv):
     batch, heads, lq, d = q.shape
     lk = k.shape[2]
-
     block_q = min(block_q, _round_up(lq, 128))
     block_kv = min(block_kv, _round_up(lk, 128))
     lq_pad = _round_up(lq, block_q)
@@ -133,64 +150,75 @@ def _flash_forward(
     if kv_mask is None and lk_pad != lk:
         kv_mask = jnp.ones((batch, lk), dtype=jnp.float32)
     if kv_mask is not None:
-        kv_mask = kv_mask.astype(jnp.float32)
-        kv_mask = jnp.pad(kv_mask, ((0, 0), (0, lk_pad - lk)))
+        kv_mask = jnp.pad(
+            kv_mask.astype(jnp.float32), ((0, 0), (0, lk_pad - lk))
+        )
 
     q = jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad - lq), (0, 0)))
     k = jnp.pad(k, ((0, 0), (0, 0), (0, lk_pad - lk), (0, 0)))
     v = jnp.pad(v, ((0, 0), (0, 0), (0, lk_pad - lk), (0, 0)))
 
     bh = batch * heads
-    q = q.reshape(bh, lq_pad, d)
-    k = k.reshape(bh, lk_pad, d)
-    v = v.reshape(bh, lk_pad, d)
+    return (
+        q.reshape(bh, lq_pad, d),
+        k.reshape(bh, lk_pad, d),
+        v.reshape(bh, lk_pad, d),
+        kv_mask,
+        block_q, block_kv, lq_pad, lk_pad,
+    )
 
+
+def _flash_forward(q, k, v, kv_mask, scale, block_q, block_kv,
+                   with_lse: bool = False):
+    batch, heads, lq, d = q.shape
+    qp, kp, vp, maskp, block_q, block_kv, lq_pad, lk_pad = _pad_inputs(
+        q, k, v, kv_mask, block_q, block_kv
+    )
+    bh = batch * heads
     num_q_blocks = lq_pad // block_q
     num_kv_blocks = lk_pad // block_kv
 
     in_specs = [
-        pl.BlockSpec(
-            (1, block_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
-        ),
-        pl.BlockSpec(
-            (1, block_kv, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
-        ),
-        pl.BlockSpec(
-            (1, block_kv, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
-        ),
+        pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, j, 0),
+                     memory_space=pltpu.VMEM),
     ]
-    args = [q, k, v]
-    if kv_mask is not None:
+    args = [qp, kp, vp]
+    if maskp is not None:
         # Broadcast per-batch mask across heads via the index map; the mask
         # is [B, 1, Lk] so block dims satisfy TPU (sublane, lane) tiling.
         in_specs.append(
-            pl.BlockSpec(
-                (1, 1, block_kv),
-                lambda b, i, j, h=heads: (b // h, 0, j),
-                memory_space=pltpu.VMEM,
-            )
+            pl.BlockSpec((1, 1, block_kv),
+                         lambda b, i, j, h=heads: (b // h, 0, j),
+                         memory_space=pltpu.VMEM)
         )
-        args.append(kv_mask[:, None, :])
+        args.append(maskp[:, None, :])
         kernel = functools.partial(
-            _attn_kernel, scale=scale, num_kv_blocks=num_kv_blocks
+            _fwd_kernel, scale=scale, num_kv_blocks=num_kv_blocks
         )
     else:
         kernel = functools.partial(
-            _attn_kernel_nomask, scale=scale, num_kv_blocks=num_kv_blocks
+            _fwd_kernel_nomask, scale=scale, num_kv_blocks=num_kv_blocks
         )
 
-    # On CPU (unit tests, debugging) run the kernel in interpreter mode.
-    interpret = jax.default_backend() == "cpu"
-
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
-        interpret=interpret,
+        interpret=_interpret(),
         grid=(bh, num_q_blocks, num_kv_blocks),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, block_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i),
+                         memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((bh, lq_pad, d), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, lq_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, 1, lq_pad), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -201,15 +229,248 @@ def _flash_forward(
         ),
     )(*args)
 
-    out = out.reshape(batch, heads, lq_pad, d)
-    return out[:, :, :lq, :]
+    out = out.reshape(batch, heads, lq_pad, d)[:, :, :lq, :]
+    if with_lse:
+        return out, lse  # lse stays padded [bh, 1, lq_pad]
+    return out
 
 
-def _attn_kernel_nomask(q_ref, k_ref, v_ref, o_ref, m, l, acc, *, scale, num_kv_blocks):
-    _attn_kernel(
-        q_ref, k_ref, v_ref, None, o_ref, m, l, acc,
-        scale=scale, num_kv_blocks=num_kv_blocks,
+# ---------------------------------------------------------------------------
+# Backward kernels
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dkv_kernel(
+    q_ref,  # [1, Bq, D]
+    k_ref,  # [1, Bk, D]
+    v_ref,  # [1, Bk, D]
+    do_ref,  # [1, Bq, D]
+    lse_ref,  # [1, 1, Bq]
+    delta_ref,  # [1, 1, Bq]
+    mask_ref,  # [1, 1, Bk] or None
+    dk_ref,  # [1, Bk, D]
+    dv_ref,  # [1, Bk, D]
+    dk_scratch,  # [Bk, D] f32
+    dv_scratch,  # [Bk, D] f32
+    *,
+    scale: float,
+    num_q_blocks: int,
+):
+    q_idx = pl.program_id(2)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scratch[:] = jnp.zeros_like(dk_scratch)
+        dv_scratch[:] = jnp.zeros_like(dv_scratch)
+
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [Bq, Bk]
+    if mask_ref is not None:
+        # mask BEFORE exp: a large masked logit must not overflow to inf
+        s = jnp.where(mask_ref[0, 0][None, :] > 0.5, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0, 0][:, None])  # [Bq, Bk]
+
+    p_cast = p.astype(do_ref.dtype)
+    # dV += P^T dO
+    dv_scratch[:] = dv_scratch[:] + jax.lax.dot_general(
+        p_cast, do_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
+    # dS = P * (dO V^T - delta) * scale
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Bq, Bk]
+    ds = p * (dp - delta_ref[0, 0][:, None]) * scale
+    # dK += dS^T Q
+    dk_scratch[:] = dk_scratch[:] + jax.lax.dot_general(
+        ds.astype(q_ref.dtype), q_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(q_idx == num_q_blocks - 1)
+    def _finalize():
+        dk_ref[0] = dk_scratch[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scratch[:].astype(dv_ref.dtype)
+
+
+def _bwd_dkv_kernel_nomask(q, k, v, do, lse, delta, dk, dv, dks, dvs, *,
+                           scale, num_q_blocks):
+    _bwd_dkv_kernel(q, k, v, do, lse, delta, None, dk, dv, dks, dvs,
+                    scale=scale, num_q_blocks=num_q_blocks)
+
+
+def _bwd_dq_kernel(
+    q_ref,  # [1, Bq, D]
+    k_ref,  # [1, Bk, D]
+    v_ref,  # [1, Bk, D]
+    do_ref,  # [1, Bq, D]
+    lse_ref,  # [1, 1, Bq]
+    delta_ref,  # [1, 1, Bq]
+    mask_ref,  # [1, 1, Bk] or None
+    dq_ref,  # [1, Bq, D]
+    dq_scratch,  # [Bq, D] f32
+    *,
+    scale: float,
+    num_kv_blocks: int,
+):
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_scratch[:] = jnp.zeros_like(dq_scratch)
+
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    if mask_ref is not None:
+        s = jnp.where(mask_ref[0, 0][None, :] > 0.5, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0, 0][:, None])
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_ref[0, 0][:, None]) * scale
+    dq_scratch[:] = dq_scratch[:] + jax.lax.dot_general(
+        ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kv_idx == num_kv_blocks - 1)
+    def _finalize():
+        dq_ref[0] = dq_scratch[:].astype(dq_ref.dtype)
+
+
+def _bwd_dq_kernel_nomask(q, k, v, do, lse, delta, dq, dqs, *,
+                          scale, num_kv_blocks):
+    _bwd_dq_kernel(q, k, v, do, lse, delta, None, dq, dqs,
+                   scale=scale, num_kv_blocks=num_kv_blocks)
+
+
+def _flash_backward(q, k, v, kv_mask, out, lse, g, scale, block_q, block_kv):
+    batch, heads, lq, d = q.shape
+    lk = k.shape[2]
+    block_q = min(block_q, DEFAULT_BWD_BLOCK)
+    block_kv = min(block_kv, DEFAULT_BWD_BLOCK)
+    qp, kp, vp, maskp, block_q, block_kv, lq_pad, lk_pad = _pad_inputs(
+        q, k, v, kv_mask, block_q, block_kv
+    )
+    bh = batch * heads
+    do = jnp.pad(g, ((0, 0), (0, 0), (0, lq_pad - lq), (0, 0))).reshape(
+        bh, lq_pad, d
+    )
+    # delta = rowsum(dO * O), padded rows contribute 0 (dO is zero there)
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )  # [B, H, Lq]
+    delta = jnp.pad(delta, ((0, 0), (0, 0), (0, lq_pad - lq))).reshape(
+        bh, 1, lq_pad
+    )
+    # lse comes already padded from the forward: [bh, 1, lq_pad_fwd].
+    if lse.shape[-1] != lq_pad:
+        lse = jnp.pad(
+            lse[:, :, :min(lse.shape[-1], lq_pad)],
+            ((0, 0), (0, 0), (0, max(0, lq_pad - lse.shape[-1]))),
+            constant_values=LSE_MASKED,
+        )
+
+    num_q_blocks = lq_pad // block_q
+    num_kv_blocks = lk_pad // block_kv
+    interpret = _interpret()
+
+    q_spec_byq = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                              memory_space=pltpu.VMEM)
+    kv_spec_byj = pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, j, 0),
+                               memory_space=pltpu.VMEM)
+    row_spec_byq = pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i),
+                                memory_space=pltpu.VMEM)
+    mask_spec_byj = pl.BlockSpec(
+        (1, 1, block_kv), lambda b, i, j, h=heads: (b // h, 0, j),
+        memory_space=pltpu.VMEM,
+    )
+
+    # -- dK/dV: grid (bh, kv blocks, q blocks), q innermost --
+    q_spec_inner = pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0),
+                                memory_space=pltpu.VMEM)
+    kv_spec_outer = pl.BlockSpec((1, block_kv, d), lambda b, j, i: (b, j, 0),
+                                 memory_space=pltpu.VMEM)
+    row_spec_inner = pl.BlockSpec((1, 1, block_q), lambda b, j, i: (b, 0, i),
+                                  memory_space=pltpu.VMEM)
+    mask_spec_outer = pl.BlockSpec(
+        (1, 1, block_kv), lambda b, j, i, h=heads: (b // h, 0, j),
+        memory_space=pltpu.VMEM,
+    )
+    dkv_in_specs = [q_spec_inner, kv_spec_outer, kv_spec_outer, q_spec_inner,
+                    row_spec_inner, row_spec_inner]
+    dkv_args = [qp, kp, vp, do, lse, delta]
+    if maskp is not None:
+        dkv_in_specs.append(mask_spec_outer)
+        dkv_args.append(maskp[:, None, :])
+        dkv_kernel = functools.partial(
+            _bwd_dkv_kernel, scale=scale, num_q_blocks=num_q_blocks
+        )
+    else:
+        dkv_kernel = functools.partial(
+            _bwd_dkv_kernel_nomask, scale=scale, num_q_blocks=num_q_blocks
+        )
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        interpret=interpret,
+        grid=(bh, num_kv_blocks, num_q_blocks),
+        in_specs=dkv_in_specs,
+        out_specs=(kv_spec_outer, kv_spec_outer),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, lk_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, lk_pad, d), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_kv, d), jnp.float32),
+            pltpu.VMEM((block_kv, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(*dkv_args)
+
+    # -- dQ: grid (bh, q blocks, kv blocks), kv innermost --
+    dq_in_specs = [q_spec_byq, kv_spec_byj, kv_spec_byj, q_spec_byq,
+                   row_spec_byq, row_spec_byq]
+    dq_args = [qp, kp, vp, do, lse, delta]
+    if maskp is not None:
+        dq_in_specs.append(mask_spec_byj)
+        dq_args.append(maskp[:, None, :])
+        dq_kernel = functools.partial(
+            _bwd_dq_kernel, scale=scale, num_kv_blocks=num_kv_blocks
+        )
+    else:
+        dq_kernel = functools.partial(
+            _bwd_dq_kernel_nomask, scale=scale, num_kv_blocks=num_kv_blocks
+        )
+    dq = pl.pallas_call(
+        dq_kernel,
+        interpret=interpret,
+        grid=(bh, num_q_blocks, num_kv_blocks),
+        in_specs=dq_in_specs,
+        out_specs=q_spec_byq,
+        out_shape=jax.ShapeDtypeStruct((bh, lq_pad, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(*dq_args)
+
+    dq = dq.reshape(batch, heads, lq_pad, d)[:, :, :lq]
+    dk = dk.reshape(batch, heads, lk_pad, d)[:, :, :lk]
+    dv = dv.reshape(batch, heads, lk_pad, d)[:, :, :lk]
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wiring
+# ---------------------------------------------------------------------------
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -218,30 +479,17 @@ def _flash(q, k, v, kv_mask, scale, block_q, block_kv):
 
 
 def _flash_fwd(q, k, v, kv_mask, scale, block_q, block_kv):
-    out = _flash_forward(q, k, v, kv_mask, scale, block_q, block_kv)
-    return out, (q, k, v, kv_mask)
+    out, lse = _flash_forward(
+        q, k, v, kv_mask, scale, block_q, block_kv, with_lse=True
+    )
+    return out, (q, k, v, kv_mask, out, lse)
 
 
 def _flash_bwd(scale, block_q, block_kv, residuals, g):
-    """Exact XLA recompute backward (no kernel yet)."""
-    q, k, v, kv_mask = residuals
-
-    def ref_attn(q, k, v):
-        logits = (
-            jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-            * scale
-        )
-        if kv_mask is not None:
-            keep = kv_mask.astype(jnp.float32)[:, None, None, :]
-            logits = jnp.where(keep > 0.5, logits, NEG_INF)
-        probs = jax.nn.softmax(logits, axis=-1)
-        return jnp.einsum(
-            "bhqk,bhkd->bhqd", probs.astype(q.dtype), v,
-            preferred_element_type=jnp.float32,
-        ).astype(q.dtype)
-
-    _, vjp = jax.vjp(ref_attn, q, k, v)
-    dq, dk, dv = vjp(g)
+    q, k, v, kv_mask, out, lse = residuals
+    dq, dk, dv = _flash_backward(
+        q, k, v, kv_mask, out, lse, g, scale, block_q, block_kv
+    )
     dmask = None if kv_mask is None else jnp.zeros_like(kv_mask)
     return dq, dk, dv, dmask
 

@@ -384,6 +384,16 @@ class LTXVideoPipeline:
             if has_avatar:
                 ref_b, pose_b = tile(ref_lat), tile(pose_lat)
 
+            # RoPE frequencies are loop-invariant: compute once per run
+            from avatar_tpu.ops.rope import precompute_freqs_cis
+
+            freqs_cis = precompute_freqs_cis(
+                fractional_coords, dim=dit_cfg.inner_dim,
+                theta=dit_cfg.positional_embedding_theta,
+                max_pos=dit_cfg.positional_embedding_max_pos,
+                out_dtype=latents.dtype,
+            )
+
             def body(i, carry):
                 latents, key = carry
                 t = sigmas[i]
@@ -417,6 +427,7 @@ class LTXVideoPipeline:
                     skip_layer_strategy=skip_strategy,
                     attention_impl=attention_impl,
                     lora=lora,
+                    freqs_cis=freqs_cis,
                 ).astype(latents.dtype)
 
                 parts = jnp.split(noise_pred, num_conds, axis=0)
