@@ -86,6 +86,7 @@ class VAEConfig:
     timestep_conditioning: bool = False
     spatial_padding_mode: str = "zeros"
     scaling_factor: float = 1.0
+    normalize_latent_channels: bool = False
 
     @classmethod
     def from_dict(cls, config: dict) -> "VAEConfig":
@@ -111,6 +112,9 @@ class VAEConfig:
             timestep_conditioning=config.get("timestep_conditioning", False),
             spatial_padding_mode=config.get("spatial_padding_mode", "zeros"),
             scaling_factor=config.get("scaling_factor", 1.0),
+            normalize_latent_channels=config.get(
+                "normalize_latent_channels", False
+            ),
         )
 
     def to_dict(self) -> dict:
@@ -129,6 +133,7 @@ class VAEConfig:
             "use_quant_conv": self.use_quant_conv,
             "causal_decoder": self.causal_decoder,
             "timestep_conditioning": self.timestep_conditioning,
+            "normalize_latent_channels": self.normalize_latent_channels,
         }
 
     # -- downscale factors (causal_video_autoencoder.py:207-241) --
@@ -367,6 +372,13 @@ def init_vae(key: jax.Array, cfg: VAEConfig) -> dict:
             "mean_of_means": jnp.zeros((cfg.latent_channels,)),
         },
     }
+    if cfg.normalize_latent_channels:
+        # BatchNorm3d(affine=False) running stats (vae.py:62-68,261-284);
+        # inference-time use only: normalize means at encode, invert at decode
+        params["latent_norm"] = {
+            "running_mean": jnp.zeros((cfg.latent_channels,)),
+            "running_var": jnp.ones((cfg.latent_channels,)),
+        }
     return params
 
 
@@ -768,6 +780,14 @@ def vae_encode(
     (vae_encode.py:22-91; the torch version's split/mark_step batching
     disappears under jit)."""
     moments = encoder_apply(params["encoder"], cfg, media, remat=remat)
+    if cfg.normalize_latent_channels and "latent_norm" in params:
+        # vae.py:261-273: BatchNorm (running stats) on the mean half only
+        c = moments.shape[-1] // 2
+        ln = params["latent_norm"]
+        mean_half = (moments[..., :c] - ln["running_mean"]) * (
+            ln["running_var"] + 1e-5
+        ) ** -0.5
+        moments = jnp.concatenate([mean_half, moments[..., c:]], axis=-1)
     if sample_posterior:
         assert key is not None
         latents = posterior_sample(moments, key)
@@ -787,6 +807,10 @@ def vae_decode(
 ) -> jnp.ndarray:
     """normalized latents -> pixels [B, F, H, W, 3] (vae_encode.py:94-165)."""
     z = un_normalize_latents(latents, params, cfg, per_channel_normalize)
+    if cfg.normalize_latent_channels and "latent_norm" in params:
+        # vae.py:275-284: invert the BatchNorm with running stats
+        ln = params["latent_norm"]
+        z = z * jnp.sqrt(ln["running_var"] + 1e-5) + ln["running_mean"]
     return decoder_apply(
         params["decoder"], cfg, z,
         timestep=timestep, noise_key=noise_key, remat=remat,

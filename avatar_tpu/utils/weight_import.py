@@ -333,6 +333,13 @@ def import_vae_state(
         params["decoder"]["last_scale_shift_table"] = s[
             "decoder.last_scale_shift_table"
         ]
+    if "latent_norm_out.running_mean" in s:
+        params["latent_norm"] = {
+            "running_mean": s["latent_norm_out.running_mean"],
+            "running_var": s["latent_norm_out.running_var"],
+        }
+        if "latent_norm_out.num_batches_tracked" in s:
+            _ = s["latent_norm_out.num_batches_tracked"]  # consumed, unused
 
     stats = {}
     for key, ours in (
@@ -543,6 +550,9 @@ def export_vae_state(params: dict, cfg: VAEConfig) -> Dict[str, np.ndarray]:
     if "last_time_embedder" in dec:
         put_embedder("decoder.last_time_embedder", dec["last_time_embedder"])
         s["decoder.last_scale_shift_table"] = _np(dec["last_scale_shift_table"])
+    if "latent_norm" in params:
+        s["latent_norm_out.running_mean"] = _np(params["latent_norm"]["running_mean"])
+        s["latent_norm_out.running_var"] = _np(params["latent_norm"]["running_var"])
     if "per_channel_statistics" in params:
         st = params["per_channel_statistics"]
         s[f"{PER_CHANNEL_STATISTICS_PREFIX}std-of-means"] = _np(st["std_of_means"])

@@ -145,3 +145,49 @@ def test_jit_encode(vae):
     a = f(params["encoder"], x)
     b = encoder_apply(params["encoder"], cfg, x)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_normalize_latent_channels():
+    """BatchNorm-style latent normalization with running stats
+    (vae.py:62-68,261-284): encode normalizes the mean half, decode inverts."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        demo_config(latent_channels=8), base_channels=32,
+        decoder_base_channels=32, normalize_latent_channels=True,
+    )
+    params = init_vae(jax.random.PRNGKey(0), cfg)
+    assert "latent_norm" in params
+    rng_ = np.random.default_rng(0)
+    params["latent_norm"] = {
+        "running_mean": jnp.asarray(rng_.normal(size=8).astype(np.float32)),
+        "running_var": jnp.asarray(rng_.uniform(0.5, 2, 8).astype(np.float32)),
+    }
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 32, 32, 3))
+    lat = vae_encode(params, cfg, x, key=jax.random.PRNGKey(2),
+                     sample_posterior=False)
+    # normalization changes the latents vs a config without it
+    cfg_off = dataclasses.replace(cfg, normalize_latent_channels=False)
+    lat_off = vae_encode(params, cfg_off, x, key=jax.random.PRNGKey(2),
+                         sample_posterior=False)
+    assert not np.allclose(np.asarray(lat), np.asarray(lat_off), atol=1e-4)
+    # decode(encode) with normalization == decode(encode) without: the
+    # normalize/unnormalize pair cancels for the mode path
+    out_on = vae_decode(params, cfg, lat, timestep=jnp.full((1,), 0.1))
+    out_off = vae_decode(params, cfg_off, lat_off, timestep=jnp.full((1,), 0.1))
+    np.testing.assert_allclose(
+        np.asarray(out_on), np.asarray(out_off), atol=1e-4
+    )
+
+    # import/export roundtrip carries the buffers
+    from avatar_tpu.utils.weight_import import (
+        export_vae_state, import_vae_state,
+    )
+
+    state = export_vae_state(params, cfg)
+    assert "latent_norm_out.running_mean" in state
+    params2 = import_vae_state(state, cfg)
+    np.testing.assert_allclose(
+        np.asarray(params2["latent_norm"]["running_var"]),
+        np.asarray(params["latent_norm"]["running_var"]),
+    )
