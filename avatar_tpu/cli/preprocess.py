@@ -169,6 +169,39 @@ class VAEEncoder:
 # ---------------------------------------------------------------------------
 
 
+def _iter_preprocessed_clips(files, clip_length, stride, height, width,
+                             prefetch: int = 2):
+    """Producer thread: host video decode + resize runs ahead of the device
+    encode (the chip never waits on IO — 'saturate host->HBM' north star)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    SENTINEL = object()
+
+    def producer():
+        try:
+            for vid_path in files:
+                frames, fps = read_video(vid_path)
+                if not frames:
+                    continue
+                base = os.path.splitext(os.path.basename(vid_path))[0]
+                for clip_idx, (s, e) in enumerate(
+                    iter_clips(len(frames), clip_length, stride)
+                ):
+                    x = preprocess_frames(frames[s:e], height, width)
+                    q.put((x, base, clip_idx, s, e, fps))
+        finally:
+            q.put(SENTINEL)
+
+    threading.Thread(target=producer, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is SENTINEL:
+            return
+        yield item
+
+
 def cmd_save_vae_latents(args):
     import numpy as np
 
@@ -182,25 +215,19 @@ def cmd_save_vae_latents(args):
         else:
             files.append(str(p))
 
-    pending = None  # (device_latents, save_args) — overlap encode with IO
-    for vid_path in sorted(files):
-        frames, fps = read_video(vid_path)
-        if not frames:
-            continue
-        base = os.path.splitext(os.path.basename(vid_path))[0]
-        for clip_idx, (s, e) in enumerate(
-            iter_clips(len(frames), args.clip_length, args.stride)
-        ):
-            x = preprocess_frames(frames[s:e], args.height, args.width)
-            lat = enc.encode(x, seed=clip_idx, per_channel=args.per_channel_normalize)
-            if pending is not None:
-                _flush_latents(*pending, fmt=args.format)
-            pending = (
-                np.asarray(lat, dtype=np.float32),
-                (args.output_dir, base, clip_idx, s, e, fps,
-                 args.per_channel_normalize),
-            )
-            print(f"{base} clip {clip_idx}: latents {lat.shape}")
+    pending = None  # (device_latents, save_args) — overlap encode with save IO
+    for x, base, clip_idx, s, e, fps in _iter_preprocessed_clips(
+        sorted(files), args.clip_length, args.stride, args.height, args.width
+    ):
+        lat = enc.encode(x, seed=clip_idx, per_channel=args.per_channel_normalize)
+        if pending is not None:
+            _flush_latents(*pending, fmt=args.format)
+        pending = (
+            np.asarray(lat, dtype=np.float32),
+            (args.output_dir, base, clip_idx, s, e, fps,
+             args.per_channel_normalize),
+        )
+        print(f"{base} clip {clip_idx}: latents {lat.shape}")
     if pending is not None:
         _flush_latents(*pending, fmt=args.format)
 
