@@ -160,6 +160,21 @@ def train_loop(config, resume: bool = True):
     best_loss = float("inf")
     key = jax.random.PRNGKey(config.seed + 1)
 
+    # batch arrays are [accum, micro_b, ...]: shard micro_b over (data, fsdp)
+    n_batch_shards = mesh.shape["data"] * mesh.shape["fsdp"]
+    if config.batch_size % n_batch_shards == 0:
+        batch_sharding = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, ("data", "fsdp"))
+        )
+    else:
+        print(
+            f"[train] batch_size {config.batch_size} not divisible by "
+            f"{n_batch_shards} devices — replicating batches (no DP speedup)"
+        )
+        batch_sharding = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec()
+        )
+
     with mesh:
         for epoch in range(start_epoch, config.num_epochs or 0):
             losses = []
@@ -170,7 +185,8 @@ def train_loop(config, resume: bool = True):
             ):
                 key, k_step = jax.random.split(key)
                 arrays = {
-                    k: jnp.asarray(v) for k, v in batch.items() if k != "stem"
+                    k: jax.device_put(jnp.asarray(v), batch_sharding)
+                    for k, v in batch.items() if k != "stem"
                 }
                 trainable, opt_state, metrics = step_fn(
                     trainable, opt_state, dit_params, arrays,
