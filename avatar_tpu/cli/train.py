@@ -93,6 +93,15 @@ def train_loop(config, resume: bool = True):
 
     optimizer = make_optimizer(config)
     opt_state = optimizer.init(trainable)
+    if config.sharding_mode in ("zero2", "fsdp"):
+        # ZeRO-2: params replicated but optimizer moments sharded over 'fsdp'
+        # (fsdp mode shards them consistently with the params).
+        from avatar_tpu.parallel import opt_state_sharding
+
+        o_shard = opt_state_sharding(
+            mesh, opt_state, t_shard, mode=config.sharding_mode
+        )
+        opt_state = jax.tree.map(jax.device_put, opt_state, o_shard)
     step_fn = make_train_step(dit_cfg, config, optimizer)
     val_fn = validate_step_fn(dit_cfg, config)
 

@@ -135,7 +135,10 @@ def dit_param_sharding(
     return result
 
 
-def opt_state_sharding(mesh: Mesh, opt_state, params_sharding, mode: str = "fsdp"):
+def opt_state_sharding(
+    mesh: Mesh, opt_state, params_sharding, mode: str = "fsdp",
+    min_size: int = 2**16,
+):
     """Optimizer-state sharding: ZeRO-2 shards moments over 'fsdp' even when
     params are replicated; fsdp mode mirrors the param shardings; dp
     replicates everything.
@@ -151,7 +154,7 @@ def opt_state_sharding(mesh: Mesh, opt_state, params_sharding, mode: str = "fsdp
 
     def spec_for(leaf):
         shape = getattr(leaf, "shape", ())
-        if not shape or int(np.prod(shape)) < 2**16:
+        if not shape or int(np.prod(shape)) < min_size:
             return NamedSharding(mesh, P())
         for i in sorted(range(len(shape)), key=lambda i: -shape[i]):
             if shape[i] % axis == 0:

@@ -130,3 +130,54 @@ def test_sharded_generation_pipeline():
         )
     assert out.shape == (2, 9, 64, 64, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_zero2_optimizer_sharding():
+    """ZeRO-2 parity: params replicated, AdamW moments sharded over 'fsdp';
+    the train step keeps moment shardings and the loss is finite."""
+    from avatar_tpu.core.config import TrainConfig
+    from avatar_tpu.parallel import opt_state_sharding, param_sharding
+    from avatar_tpu.train.train import (
+        init_trainable, make_optimizer, make_train_step,
+    )
+
+    mesh = make_mesh(data=2, fsdp=4)
+    cfg = TrainConfig(
+        checkpoint_path="x", learning_rate=1e-3, lora_rank=4, lora_alpha=4,
+        rf_log_normal_mu=-0.5, rf_log_normal_sigma=1.0,
+        train_mode="lora_audio", gradient_accumulation_steps=1, batch_size=8,
+        sharding_mode="zero2",
+    )
+    params = init_dit(jax.random.PRNGKey(0), DIT)
+    p_shard = param_sharding(mesh, params, mode="zero2", min_size=64)
+    params = shard_pytree(params, p_shard)  # replicated in zero2
+    trainable = init_trainable(jax.random.PRNGKey(1), params, DIT, cfg)
+    t_shard = param_sharding(mesh, trainable, mode="zero2", min_size=64)
+    trainable = shard_pytree(trainable, t_shard)
+
+    opt = make_optimizer(cfg)
+    opt_state = opt.init(trainable)
+    o_shard = opt_state_sharding(mesh, opt_state, t_shard, mode="zero2",
+                                 min_size=64)
+    opt_state = jax.tree.map(jax.device_put, opt_state, o_shard)
+    # a large moment leaf is actually sharded over fsdp
+    big = [
+        s for s in jax.tree.leaves(o_shard)
+        if "fsdp" in str(getattr(s, "spec", ""))
+    ]
+    assert big, "no optimizer leaf sharded over fsdp in zero2 mode"
+
+    step = make_train_step(DIT, cfg, opt, attention_impl="xla")
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    batch = {
+        "latents": jax.random.normal(ks[0], (1, 8, 3, 2, 2, DIT.in_channels)),
+        "pose_latents": jax.random.normal(ks[1], (1, 8, 3, 2, 2, DIT.in_channels)),
+        "ref_image_latents": jax.random.normal(ks[2], (1, 8, 1, 2, 2, DIT.in_channels)),
+    }
+    embeds = jax.random.normal(jax.random.PRNGKey(3), (1, 8, DIT.caption_channels))
+    with mesh:
+        t1, o1, m = step(
+            trainable, opt_state, params, batch, embeds, jnp.ones((1, 8)),
+            jax.random.PRNGKey(4),
+        )
+    assert np.isfinite(float(m["loss"]))
