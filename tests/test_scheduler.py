@@ -119,9 +119,5 @@ def test_sd3_shift_monotonic():
     t = s.sigmas
     assert (t[:-1] > t[1:]).all()
     assert t[0] <= 1.0 and t[-1] > 0.0
-    np.testing.assert_allclose(t[-1], 0.1 * t_last_unstretched_ratio(t), atol=1e-6)
-
-
-def t_last_unstretched_ratio(t):
     # after strech_shifts_to_terminal the last entry equals the terminal value
-    return 1.0
+    np.testing.assert_allclose(t[-1], 0.1, atol=1e-6)
