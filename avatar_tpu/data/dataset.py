@@ -84,12 +84,18 @@ class LatentPairDataset:
         ref = to_fhwc(
             _load_latent_file(_find_latent(self.condition_dir, f"{stem}_ref"))
         )
-        return {
+        item = {
             "latents": latents,
             "pose_latents": pose,
             "ref_image_latents": ref,
             "stem": stem,
         }
+        # optional FaceFormer audio latents ({stem}_ff.npy, save-text-latents
+        # output) for audio-conditioned training
+        ff_path = self.condition_dir / f"{stem}_ff.npy"
+        if ff_path.exists():
+            item["audio_latents"] = np.load(ff_path).astype(np.float32)
+        return item
 
 
 # The reference keeps an identical second class for validation
@@ -98,13 +104,27 @@ ValidationDataset = LatentPairDataset
 
 
 def collate_latent_pairs(batch: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
-    """dataset.py:6-42: stack to [B, F, H, W, C] (channels-last here)."""
-    return {
+    """dataset.py:6-42: stack to [B, F, H, W, C] (channels-last here).
+    Audio latents (variable T) are right-padded to the batch max with a
+    keep-mask."""
+    out = {
         "latents": np.stack([b["latents"] for b in batch]),
         "pose_latents": np.stack([b["pose_latents"] for b in batch]),
         "ref_image_latents": np.stack([b["ref_image_latents"] for b in batch]),
         "stem": [b["stem"] for b in batch],
     }
+    if all("audio_latents" in b for b in batch):
+        t_max = max(b["audio_latents"].shape[0] for b in batch)
+        padded, mask = [], []
+        for b in batch:
+            a = b["audio_latents"]
+            padded.append(np.pad(a, ((0, t_max - a.shape[0]), (0, 0))))
+            m = np.zeros(t_max, np.float32)
+            m[: a.shape[0]] = 1.0
+            mask.append(m)
+        out["audio_latents"] = np.stack(padded)
+        out["audio_mask"] = np.stack(mask)
+    return out
 
 
 def epoch_batches(

@@ -199,6 +199,27 @@ def faceformer_predict(
     return vertices + template[:, None, :]
 
 
+def audio_features_to_caption_embeds(
+    features: jnp.ndarray,  # [B, T, feature_dim]
+    caption_channels: int = 4096,
+) -> jnp.ndarray:
+    """Lift FaceFormer audio-motion features into the caption embedding
+    space consumed by the DiT's cross-attention.
+
+    This is the "audio -> caption projection" interface of the reference's
+    earlier audio-conditioning design: training_deepspeed.py:144-157 and
+    validation.py:148-181 feed ``audio_latents`` directly as
+    ``encoder_hidden_states``/``prompt_embeds``, which is bit-rotted there
+    (64-dim features vs a 4096-dim caption_projection input). The intended
+    behavior: place the features in the caption input space (zero-padded to
+    caption_channels) so the *trainable* caption_projection
+    (training.py:50-74 "lora_audio" strategy) learns the actual mapping.
+    """
+    b, t, d = features.shape
+    assert d <= caption_channels
+    return jnp.pad(features, ((0, 0), (0, 0), (0, caption_channels - d)))
+
+
 def extract_audio_motion_features(
     params: dict,
     ff_cfg: FaceFormerConfig,

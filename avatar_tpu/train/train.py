@@ -194,10 +194,22 @@ def velocity_loss(
     v_target = velocity_target(tokens_f32, noise, t)
 
     cond = avatar_condition_tokens(noisy, ref, pose)
-    embeds = jnp.broadcast_to(
-        prompt_embeds, (b,) + prompt_embeds.shape[1:]
-    ).astype(model_dtype)
-    mask = jnp.broadcast_to(prompt_mask, (b,) + prompt_mask.shape[1:])
+    if "audio_latents" in batch:
+        # audio-conditioned training: FaceFormer features lifted into the
+        # caption input space (the reference's bit-rotted audio design,
+        # training_deepspeed.py:144-157, made to work — see
+        # faceformer.audio_features_to_caption_embeds)
+        from avatar_tpu.models.faceformer import audio_features_to_caption_embeds
+
+        embeds = audio_features_to_caption_embeds(
+            batch["audio_latents"], dit_cfg.caption_channels
+        ).astype(model_dtype)
+        mask = batch["audio_mask"]
+    else:
+        embeds = jnp.broadcast_to(
+            prompt_embeds, (b,) + prompt_embeds.shape[1:]
+        ).astype(model_dtype)
+        mask = jnp.broadcast_to(prompt_mask, (b,) + prompt_mask.shape[1:])
 
     out = dit_apply(
         params, dit_cfg, cond, coords, t.astype(model_dtype), embeds, mask,

@@ -278,3 +278,44 @@ def test_dataset_formats(tmp_path):
     batches = list(epoch_batches(ds, batch_size=2, accum_steps=2, seed=0))
     assert len(batches) == 1
     assert batches[0]["latents"].shape == (2, 2, 3, 2, 2, 8)
+
+
+def test_audio_conditioned_train_step(tmp_path):
+    """Audio-latent conditioning end-to-end: save-text-latents-style
+    {stem}_ff.npy files flow through the dataset into the train step as
+    caption-space embeddings (the reference's intended audio design)."""
+    from avatar_tpu.data.dataset import LatentPairDataset, epoch_batches
+    from avatar_tpu.models.faceformer import audio_features_to_caption_embeds
+    from avatar_tpu.utils.safetensors_io import save_safetensors
+
+    rng = np.random.default_rng(0)
+    enc = tmp_path / "enc"; cond = tmp_path / "cond"
+    enc.mkdir(); cond.mkdir()
+    for i in range(2):
+        stem = f"c{i}"
+        save_safetensors({"latents": rng.standard_normal((8, 3, 2, 2)).astype(np.float32)}, enc / f"{stem}.safetensors")
+        save_safetensors({"latents": rng.standard_normal((8, 3, 2, 2)).astype(np.float32)}, cond / f"{stem}.safetensors")
+        save_safetensors({"latents": rng.standard_normal((8, 1, 2, 2)).astype(np.float32)}, cond / f"{stem}_ref.safetensors")
+        np.save(cond / f"{stem}_ff.npy", rng.standard_normal((5 + i, 16)).astype(np.float32))
+
+    ds = LatentPairDataset(cond, enc)
+    batch = next(iter(epoch_batches(ds, batch_size=2, accum_steps=1, shuffle=False)))
+    assert batch["audio_latents"].shape == (1, 2, 6, 16)  # padded to max T
+    assert batch["audio_mask"].sum() == 5 + 6
+
+    lifted = audio_features_to_caption_embeds(
+        jnp.asarray(batch["audio_latents"][0]), DIT.caption_channels
+    )
+    assert lifted.shape == (2, 6, DIT.caption_channels)
+    np.testing.assert_allclose(np.asarray(lifted[..., 16:]), 0.0)
+
+    cfg = _cfg()
+    params = init_dit(jax.random.PRNGKey(0), DIT)
+    trainable = init_trainable(jax.random.PRNGKey(1), params, DIT, cfg)
+    opt = make_optimizer(cfg)
+    step = make_train_step(DIT, cfg, opt, attention_impl="xla")
+    arrays = {k: jnp.asarray(v) for k, v in batch.items() if k != "stem"}
+    embeds, mask = _prompt()
+    t1, _, m = step(trainable, opt.init(trainable), params, arrays, embeds,
+                    mask, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m["loss"]))
