@@ -230,3 +230,75 @@ def test_detect_face_bbox_gating():
     blank = np.zeros((64, 64, 3), np.uint8)
     with pytest.raises((ValueError, RuntimeError), match="face"):
         detect_face_bbox(blank)
+
+
+def test_generate_faceformer_frames_e2e(tmp_path):
+    """Full pose-frame path: synthetic vocaset-style torch checkpoint +
+    wav -> FaceFormer predict -> rendered frame directory (N*8+1 frames)."""
+    torch = pytest.importorskip("torch")
+    from scipy.io import wavfile
+
+    from tests.test_faceformer import _TorchFaceformer, _tiny_w2v_torch
+    from avatar_tpu.models.wav2vec2 import Wav2Vec2Config
+    from avatar_tpu.pipelines.pose_frames import generate_faceformer_frames
+
+    # synthetic checkpoint (tiny wav2vec2 + tiny decoder, vocaset layout)
+    _, w2v_model, hf_cfg = _tiny_w2v_torch()
+    n_verts = 80
+    dec = _TorchFaceformer(feature_dim=16, vertice_dim=n_verts * 3, period=5)
+    audio_feature_map = torch.nn.Linear(hf_cfg.hidden_size, 16)
+    state = {
+        f"audio_encoder.{k}": v
+        for k, v in w2v_model.state_dict().items()
+        if "masked_spec_embed" not in k
+    }
+    state["audio_feature_map.weight"] = audio_feature_map.weight.detach()
+    state["audio_feature_map.bias"] = audio_feature_map.bias.detach()
+    for k, v in dec.state_dict().items():
+        if k.startswith(("vertice_map", "obj_vector", "transformer_decoder")):
+            state[k] = v
+    ckpt = tmp_path / "vocaset.pth"
+    torch.save(state, ckpt)
+
+    # synthetic 0.5 s 16 kHz wav + template
+    rng = np.random.default_rng(0)
+    wavfile.write(
+        tmp_path / "speech.wav", 16000,
+        (rng.standard_normal(8000) * 3000).astype(np.int16),
+    )
+    np.save(tmp_path / "template.npy",
+            rng.standard_normal((n_verts, 3)).astype(np.float32) * 0.1)
+
+    import unittest.mock as mock
+
+    import avatar_tpu.models.faceformer as ff_mod
+    from avatar_tpu.models.faceformer import FaceFormerConfig, import_faceformer_state
+
+    w2v_cfg = Wav2Vec2Config.from_dict(hf_cfg.to_dict())
+
+    def tiny_load(path):
+        st = torch.load(path, map_location="cpu", weights_only=False)
+        st = {k: v.numpy() for k, v in st.items()}
+        return (
+            FaceFormerConfig(feature_dim=16, vertice_dim=n_verts * 3, period=5),
+            w2v_cfg,
+            import_faceformer_state(st, w2v_cfg),
+        )
+
+    with mock.patch.object(ff_mod, "load_faceformer", tiny_load):
+        frames_dir = generate_faceformer_frames(
+            audio_path=tmp_path / "speech.wav",
+            output_dir=tmp_path / "frames",
+            faceformer_checkpoint=str(ckpt),
+            template_path=str(tmp_path / "template.npy"),
+            face_bbox=(0.25, 0.25, 0.75, 0.75),
+            num_frames=17,  # explicit N*8+1 (the tiny conv stack's nominal
+            target_fps=20,  # fps makes the automatic count meaningless)
+            height=64, width=64,
+        )
+    frames = sorted(frames_dir.glob("frame_*.png"))
+    assert len(frames) == 17
+    from PIL import Image
+
+    img = np.asarray(Image.open(frames[0]).convert("RGB"))
+    assert img.shape == (64, 64, 3) and img.max() > 100
