@@ -92,6 +92,11 @@ def strech_shifts_to_terminal(shifts: np.ndarray, terminal: float = 0.1) -> np.n
         raise ValueError("The terminal value must be in (0, 1).")
     one_minus_z = 1.0 - shifts
     scale_factor = one_minus_z[-1] / (1.0 - terminal)
+    if scale_factor == 0.0:
+        # degenerate single-step schedule ending at t=1: the stretch is
+        # ill-defined (the reference divides by zero here, rf.py:105-108);
+        # leave the shifts untouched instead of producing NaNs
+        return shifts
     return 1.0 - (one_minus_z / scale_factor)
 
 

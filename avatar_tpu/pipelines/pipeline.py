@@ -403,7 +403,10 @@ class LTXVideoPipeline:
                     # (pipeline_ltx_video.py:566-589)
                     k = jax.random.fold_in(key, 2 * i)
                     noise = jax.random.normal(k, latents.shape, latents.dtype)
-                    noised = init_latents + image_cond_noise_scale * noise * t**2
+                    noise_scale = (image_cond_noise_scale * t**2).astype(
+                        latents.dtype
+                    )
+                    noised = init_latents + noise_scale * noise
                     need = (cond_mask > 1.0 - T_EPS)[..., None]
                     latents = jnp.where(need, noised, latents)
 
@@ -443,7 +446,9 @@ class LTXVideoPipeline:
                     (text,) = parts
                     uncond = ptb = None
 
-                g = guidance[i]
+                # per-step scalars are f32 arrays; cast so guidance math
+                # doesn't promote the bf16 carry to f32
+                g = guidance[i].astype(latents.dtype)
                 if do_cfg:
                     if cfg_star:
                         # cfg_star_rescale (pipeline_ltx_video.py:1225-1238)
@@ -460,7 +465,7 @@ class LTXVideoPipeline:
                     pred = text
 
                 if do_stg:
-                    sg = stg[i]
+                    sg = stg[i].astype(latents.dtype)
                     pred = pred + sg * (text - ptb)
                     # rescaling (pipeline_ltx_video.py:1246-1260), applied
                     # when stg>0 and rescale != 1 — dynamic via where
