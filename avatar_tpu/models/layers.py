@@ -40,9 +40,15 @@ def init_linear(
 
 
 def linear(params: dict, x: jnp.ndarray) -> jnp.ndarray:
-    out = jnp.einsum(
-        "...i,io->...o", x, params["kernel"].astype(x.dtype)
-    )
+    if "kernel_q" in params:
+        # weight-only int8 (utils/quantize.py): dequant fuses into the
+        # matmul's weight read, halving HBM traffic
+        kernel = params["kernel_q"].astype(x.dtype) * params["scale"].astype(
+            x.dtype
+        )
+    else:
+        kernel = params["kernel"].astype(x.dtype)
+    out = jnp.einsum("...i,io->...o", x, kernel)
     if "bias" in params:
         out = out + params["bias"].astype(out.dtype)
     return out

@@ -159,8 +159,13 @@ class LTXVideoPipeline:
         patch_size: int = 1,
         attention_impl: str = "auto",
         allowed_inference_steps: Optional[List[float]] = None,
+        quantize_weights: bool = False,
     ):
         self.dit_cfg = dit_cfg
+        if quantize_weights:
+            from avatar_tpu.utils.quantize import quantize_dit_params
+
+            dit_params = quantize_dit_params(dit_params)
         self.dit_params = dit_params
         self.vae_cfg = vae_cfg
         self.vae_params = vae_params

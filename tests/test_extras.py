@@ -203,3 +203,41 @@ def test_profiling_helpers():
     _t.sleep(0.01)
     assert t.tick() > 0
     assert t.throughput(8) > 0
+
+
+def test_int8_weight_quantization(rng):
+    """Weight-only int8: quantized linears are consumed transparently and
+    stay close to the bf16 output; small/norm params untouched."""
+    from avatar_tpu.models.dit import DiTConfig, dit_apply, init_dit
+    from avatar_tpu.ops.rope import get_latent_coords
+    from avatar_tpu.utils.quantize import quantize_dit_params, quantize_linear
+    from avatar_tpu.models.layers import linear
+
+    p = {"kernel": jnp.asarray(rng.standard_normal((64, 128)).astype(np.float32)),
+         "bias": jnp.asarray(rng.standard_normal(128).astype(np.float32))}
+    q = quantize_linear(p)
+    assert q["kernel_q"].dtype == jnp.int8
+    x = jnp.asarray(rng.standard_normal((4, 64)).astype(np.float32))
+    a, b = linear(p, x), linear(q, x)
+    rel = float(jnp.abs(a - b).mean() / (jnp.abs(a).mean() + 1e-9))
+    assert rel < 0.02, rel
+
+    cfg = DiTConfig(num_attention_heads=2, attention_head_dim=8, in_channels=8,
+                    out_channels=8, num_layers=1, cross_attention_dim=16,
+                    caption_channels=24)
+    params = init_dit(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_dit_params(params, min_size=64)
+    # attention projections quantized, norm scales untouched
+    assert "kernel_q" in qparams["blocks"][0]["attn1"]["to_q"]
+    assert "scale" in qparams["blocks"][0]["attn1"]["q_norm"]
+    assert "kernel_q" not in qparams["blocks"][0]["attn1"]["q_norm"]
+
+    tokens = jax.random.normal(jax.random.PRNGKey(1), (1, 12, 8))
+    grid = get_latent_coords(3, 2, 2, 1)
+    text = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 24))
+    out_a = dit_apply(params, cfg, tokens, grid, jnp.asarray([0.5]), text,
+                      jnp.ones((1, 4)), attention_impl="xla")
+    out_b = dit_apply(qparams, cfg, tokens, grid, jnp.asarray([0.5]), text,
+                      jnp.ones((1, 4)), attention_impl="xla")
+    rel = float(jnp.abs(out_a - out_b).mean() / (jnp.abs(out_a).mean() + 1e-9))
+    assert rel < 0.05, rel
