@@ -38,7 +38,13 @@ from avatar_tpu.models.layers import (
 )
 from avatar_tpu.ops.attention import scaled_dot_product_attention
 from avatar_tpu.ops.normalization import layer_norm, rms_norm
-from avatar_tpu.ops.rope import apply_rotary_emb, precompute_freqs_cis
+from avatar_tpu.ops.rope import (
+    apply_rotary_emb,
+    apply_rotary_emb_split,
+    precompute_freqs_cis,
+    rope_channel_permutation,
+    split_freqs,
+)
 
 
 class SkipLayerStrategy(enum.Enum):
@@ -229,43 +235,99 @@ def _attention(
     attention_impl: str = "auto",
     lora: Optional[dict] = None,
     lora_scale: float = 1.0,
+    rope_split: bool = False,
+    cross_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> jnp.ndarray:
     """AttnProcessor2_0.__call__ equivalent (attention.py:943-1114).
 
     ``lora`` optionally holds {"to_q": {"a": [in,r], "b": [r,out]}, ...}
     low-rank deltas applied additively (the training-time LoRA path; merged
     weights at export produce the same math).
+
+    ``rope_split``: params hold q/k kernels with RoPE-pair-permuted output
+    columns (see :func:`permute_dit_params_for_split_rope`) and ``freqs_cis``
+    is in split-half layout — RoPE becomes contiguous-slice math instead of a
+    stride-2 gather (which costs ~40us/block on v5e).
+
+    ``cross_kv``: precomputed (k, v) head-split tensors for cross-attention;
+    they depend only on the (loop-invariant) text context, so pipelines
+    compute them once per run instead of once per denoising step.
     """
     b = x.shape[0]
     heads = cfg.num_attention_heads
     head_dim = cfg.attention_head_dim
 
-    def proj(name, inp):
+    def proj(name, inp, perm=None):
         out = linear(params[name], inp)
         if lora is not None and name in lora:
             la, lb = lora[name]["a"], lora[name]["b"]
+            if perm is not None:
+                lb = lb[:, perm]
             out = out + lora_scale * jnp.einsum(
                 "...i,ir,ro->...o", inp, la.astype(inp.dtype), lb.astype(inp.dtype)
             )
         return out
 
-    q = _qk_norm(params.get("q_norm"), proj("to_q", x), cfg)
-    is_cross = encoder_hidden_states is not None
-    ctx = encoder_hidden_states if is_cross else x
-    k = _qk_norm(params.get("k_norm"), proj("to_k", ctx), cfg)
-    if not is_cross and freqs_cis is not None:
-        q = apply_rotary_emb(q, freqs_cis)
-        k = apply_rotary_emb(k, freqs_cis)
-    v = proj("to_v", ctx)
-    value_for_stg = v
+    is_cross = encoder_hidden_states is not None or cross_kv is not None
+    use_split_rope = rope_split and not is_cross and freqs_cis is not None
+    qk_perm = (
+        rope_channel_permutation(heads * head_dim) if use_split_rope else None
+    )
 
     def split(t):
         return t.reshape(b, -1, heads, head_dim).transpose(0, 2, 1, 3)
 
-    out = scaled_dot_product_attention(
-        split(q), split(k), split(v), mask=kv_mask, impl=attention_impl
+    def split_to_head_major(t):
+        # global split-half [x1(C/2) | x2(C/2)] -> head-major [.., h, (x1|x2)]
+        n_ = t.shape[1]
+        t = t.reshape(b, n_, 2, heads, head_dim // 2)
+        return t.transpose(0, 1, 3, 2, 4).reshape(b, n_, heads * head_dim)
+
+    q = _qk_norm(params.get("q_norm"), proj("to_q", x, qk_perm), cfg)
+    if cross_kv is not None:
+        k, v = cross_kv  # token-major [B, L, C], precomputed per run
+        value_for_stg = v
+    else:
+        ctx = encoder_hidden_states if is_cross else x
+        k = _qk_norm(params.get("k_norm"), proj("to_k", ctx, qk_perm), cfg)
+        v = proj("to_v", ctx)
+        value_for_stg = v
+        if not is_cross and freqs_cis is not None:
+            if use_split_rope:
+                q = apply_rotary_emb_split(q, freqs_cis)
+                k = apply_rotary_emb_split(k, freqs_cis)
+            else:
+                q = apply_rotary_emb(q, freqs_cis)
+                k = apply_rotary_emb(k, freqs_cis)
+
+    # Token-major fused kernel (TPU): heads sliced by BlockSpec, no
+    # [B,H,L,D] transposes, whole-row softmax in VMEM.
+    from avatar_tpu.ops.attention import tpu_backend
+    from avatar_tpu.ops.flash_attention import (
+        fused_supports,
+        fused_token_attention,
     )
-    out = out.transpose(0, 2, 1, 3).reshape(b, -1, heads * head_dim)
+
+    mask_2d = kv_mask if kv_mask is not None and kv_mask.ndim == 2 else None
+    use_fused = (
+        attention_impl in ("auto", "flash")
+        and (kv_mask is None or mask_2d is not None)
+        and fused_supports(q.shape[1], k.shape[1], heads, head_dim, q.dtype)
+        and (tpu_backend() or attention_impl == "flash")
+    )
+    if use_fused:
+        if use_split_rope:
+            q, k = split_to_head_major(q), split_to_head_major(k)
+        out = fused_token_attention(
+            q, k, v, mask_2d, heads, head_dim**-0.5
+        )
+    else:
+        if use_split_rope:
+            q, k = split_to_head_major(q), split_to_head_major(k)
+        out = scaled_dot_product_attention(
+            split(q), split(k), split(v), mask=kv_mask, impl=attention_impl
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(b, -1, heads * head_dim)
     out = out.astype(q.dtype)
 
     if skip_layer_mask is not None:
@@ -307,6 +369,8 @@ def _block_apply(
     attention_impl: str = "auto",
     lora: Optional[dict] = None,
     lora_scale: float = 1.0,
+    rope_split: bool = False,
+    cross_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> jnp.ndarray:
     """BasicTransformerBlock.forward (attention.py:198-321)."""
     b = x.shape[0]
@@ -339,12 +403,17 @@ def _block_apply(
         attention_impl=attention_impl,
         lora=None if lora is None else lora.get("attn1"),
         lora_scale=lora_scale,
+        rope_split=rope_split,
     )
     if gate_msa is not None:
         attn_out = gate_msa * attn_out
     x = x + attn_out
 
-    if encoder_hidden_states is not None or cfg.cross_attention_dim:
+    if (
+        encoder_hidden_states is not None
+        or cross_kv is not None
+        or cfg.cross_attention_dim
+    ):
         attn_in = x
         if cfg.adaptive_norm == "none" and "attn2_norm" in params:
             attn_in = _std_norm(params["attn2_norm"], x, cfg)
@@ -355,6 +424,7 @@ def _block_apply(
             attention_impl=attention_impl,
             lora=None if lora is None else lora.get("attn2"),
             lora_scale=lora_scale,
+            cross_kv=cross_kv,
         )
         x = x + attn_out
 
@@ -393,10 +463,21 @@ def dit_apply(
     lora_scale: float = 1.0,
     remat: bool = False,
     freqs_cis: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    rope_split: bool = False,
+    cross_kv: Optional[Sequence[Tuple[jnp.ndarray, jnp.ndarray]]] = None,
 ) -> jnp.ndarray:
     """Transformer3DModel.forward (transformer3d.py:361-565) minus the avatar
     lerp (see :func:`avatar_condition_tokens`). Returns velocity tokens
-    [B, N, out_channels]."""
+    [B, N, out_channels].
+
+    ``rope_split``: params are in split-RoPE layout
+    (:func:`permute_dit_params_for_split_rope`) and ``freqs_cis``, if given,
+    is the split-half (cos, sin) pair.
+    ``cross_kv``: per-block precomputed cross-attention (k, v) from
+    :func:`precompute_cross_attention_kv`; when given,
+    ``encoder_hidden_states`` is ignored by the blocks (the caption
+    projection and k/v projections already happened once per run).
+    """
     b, n, _ = hidden_states.shape
     inner = cfg.inner_dim
     dtype = hidden_states.dtype
@@ -412,6 +493,8 @@ def dit_apply(
             max_pos=cfg.positional_embedding_max_pos,
             out_dtype=dtype,
         )
+        if rope_split:
+            freqs_cis = split_freqs(freqs_cis)
 
     # AdaLayerNormSingle: shared embedding + linear to n_ada * inner.
     embedded_timestep = timestep_embedder(
@@ -423,7 +506,9 @@ def dit_apply(
     ada_timestep = ada_timestep.reshape(b, -1, ada_timestep.shape[-1])
     embedded_timestep = embedded_timestep.reshape(b, -1, inner)
 
-    if encoder_hidden_states is not None and "caption_projection" in params:
+    if cross_kv is not None:
+        encoder_hidden_states = None
+    elif encoder_hidden_states is not None and "caption_projection" in params:
         cap = params["caption_projection"]
         eh = linear(cap["linear_1"], encoder_hidden_states.astype(dtype))
         eh = jax.nn.gelu(eh, approximate=True)
@@ -433,14 +518,16 @@ def dit_apply(
     for i, block in enumerate(params["blocks"]):
         slm = None if skip_layer_mask is None else skip_layer_mask[i]
         block_lora = None if lora is None else lora["blocks"][i]
+        block_kv = None if cross_kv is None else cross_kv[i]
 
-        def run(bp, xx, slm=slm, block_lora=block_lora):
+        def run(bp, xx, slm=slm, block_lora=block_lora, block_kv=block_kv):
             return _block_apply(
                 bp, xx, cfg, freqs_cis, ada_timestep,
                 encoder_hidden_states, encoder_attention_mask,
                 slm, skip_layer_strategy,
                 attention_impl=attention_impl,
                 lora=block_lora, lora_scale=lora_scale,
+                rope_split=rope_split, cross_kv=block_kv,
             )
 
         fn = jax.checkpoint(run) if remat else run
@@ -477,6 +564,97 @@ def avatar_condition_tokens(
     rest = x[:, 1:] + pose_lerp * (pose_latents[:, 1:] - x[:, 1:])
     x = jnp.concatenate([frame0, rest], axis=1)
     return x.reshape(b, f * h * w, c)
+
+
+def permute_dit_params_for_split_rope(params: dict, cfg: DiTConfig) -> dict:
+    """Permute every block's attn1 q/k projection output columns (kernel,
+    bias, qk-norm scales) into the split-RoPE layout so that
+    ``dit_apply(..., rope_split=True)`` applies RoPE without the stride-2
+    gather.  Numerically exact: q and k share the permutation, attention
+    logits are channel-order invariant within a head, and v / to_out are
+    untouched.  Handles both full-precision and int8-quantized kernels."""
+    perm = rope_channel_permutation(cfg.inner_dim)
+
+    def permute_linear(p: dict) -> dict:
+        out = dict(p)
+        if "kernel" in p:
+            out["kernel"] = p["kernel"][:, perm]
+        if "kernel_q" in p:
+            out["kernel_q"] = p["kernel_q"][:, perm]
+            out["scale"] = p["scale"][perm]
+        if "bias" in p:
+            out["bias"] = p["bias"][perm]
+        return out
+
+    def permute_norm(p: Optional[dict]) -> Optional[dict]:
+        if p is None:
+            return None
+        return {k: v[perm] for k, v in p.items()}
+
+    new_params = dict(params)
+    new_blocks = []
+    for block in params["blocks"]:
+        nb = dict(block)
+        attn1 = dict(block["attn1"])
+        attn1["to_q"] = permute_linear(attn1["to_q"])
+        attn1["to_k"] = permute_linear(attn1["to_k"])
+        if "q_norm" in attn1:
+            attn1["q_norm"] = permute_norm(attn1["q_norm"])
+        if "k_norm" in attn1:
+            attn1["k_norm"] = permute_norm(attn1["k_norm"])
+        nb["attn1"] = attn1
+        new_blocks.append(nb)
+    new_params["blocks"] = new_blocks
+    return new_params
+
+
+def precompute_cross_attention_kv(
+    params: dict,
+    cfg: DiTConfig,
+    encoder_hidden_states: jnp.ndarray,  # [B, L, caption_channels]
+    lora: Optional[dict] = None,
+    lora_scale: float = 1.0,
+    dtype=None,
+) -> Tuple[list, jnp.ndarray]:
+    """Caption projection + per-block cross-attention k/v, computed once per
+    generation run (they depend only on the text context, which is invariant
+    across denoising steps; the reference recomputes them 28x40 times,
+    pipeline_ltx_video.py:1202-1215).
+
+    Returns (cross_kv list of per-block token-major (k, v) [B, L, inner],
+    projected_context [B, L, inner]).
+    """
+    b = encoder_hidden_states.shape[0]
+    if dtype is not None:
+        encoder_hidden_states = encoder_hidden_states.astype(dtype)
+    eh = encoder_hidden_states
+    if "caption_projection" in params:
+        cap = params["caption_projection"]
+        eh = linear(cap["linear_1"], eh)
+        eh = jax.nn.gelu(eh, approximate=True)
+        eh = linear(cap["linear_2"], eh)
+        eh = eh.reshape(b, -1, cfg.inner_dim)
+
+    cross_kv = []
+    for i, block in enumerate(params["blocks"]):
+        attn2 = block["attn2"]
+        block_lora = None if lora is None else lora["blocks"][i]
+        a2_lora = None if block_lora is None else block_lora.get("attn2")
+
+        def proj(name):
+            out = linear(attn2[name], eh)
+            if a2_lora is not None and name in a2_lora:
+                la, lb = a2_lora[name]["a"], a2_lora[name]["b"]
+                out = out + lora_scale * jnp.einsum(
+                    "...i,ir,ro->...o", eh, la.astype(eh.dtype),
+                    lb.astype(eh.dtype),
+                )
+            return out
+
+        k = _qk_norm(attn2.get("k_norm"), proj("to_k"), cfg)
+        v = proj("to_v")
+        cross_kv.append((k, v))
+    return cross_kv, eh
 
 
 def create_skip_layer_mask(

@@ -61,7 +61,7 @@ def xla_attention(
 
 
 @functools.lru_cache(maxsize=None)
-def _tpu_backend() -> bool:
+def tpu_backend() -> bool:
     try:
         platform = jax.devices()[0].platform
     except Exception:  # pragma: no cover - no backend at all
@@ -98,7 +98,7 @@ def scaled_dot_product_attention(
         return xla_attention(q, k, v, bias, scale)
 
     if impl in ("auto", "flash"):
-        use_flash = impl == "flash" or _tpu_backend()
+        use_flash = impl == "flash" or tpu_backend()
         if use_flash:
             from avatar_tpu.ops.flash_attention import flash_attention, supports
 

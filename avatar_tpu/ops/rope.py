@@ -86,12 +86,58 @@ def apply_rotary_emb(
     x: jnp.ndarray, freqs_cis: Tuple[jnp.ndarray, jnp.ndarray]
 ) -> jnp.ndarray:
     """Rotate adjacent feature pairs: out = x*cos + rot(x)*sin
-    where rot interleaves (-x2, x1) per pair (attention.py:917-932)."""
+    where rot interleaves (-x2, x1) per pair (attention.py:917-932).
+
+    Reference-layout version (interleaved pairs).  The hot path uses
+    :func:`apply_rotary_emb_split` instead: stride-2 slicing on the lane
+    dimension lowers to a gather on TPU (~40us/block measured on v5e)."""
     cos_freqs, sin_freqs = freqs_cis
     x1 = x[..., 0::2]
     x2 = x[..., 1::2]
     rot = jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
     return x * cos_freqs + rot * sin_freqs
+
+
+def split_freqs(
+    freqs_cis: Tuple[jnp.ndarray, jnp.ndarray]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Interleaved [.., dim] (cos, sin) -> split-half [.., dim/2] layout
+    (every pair's value appears twice in the interleaved layout)."""
+    cos_f, sin_f = freqs_cis
+    return cos_f[..., 0::2], sin_f[..., 1::2]
+
+
+def rope_channel_permutation(dim: int):
+    """Column permutation moving interleaved RoPE pairs to a split-half
+    layout: new[i] = old[2i], new[dim/2 + i] = old[2i + 1].
+
+    Applying this to the *output columns* of the q/k projection kernels (and
+    their biases / qk-norm scales) makes RoPE a contiguous-slice operation
+    (no stride-2 gather).  Attention logits are invariant because q and k
+    share the permutation and the rms qk-norm statistics span the full dim.
+    """
+    import numpy as np
+
+    half = dim // 2
+    perm = np.empty((dim,), dtype=np.int32)
+    perm[:half] = np.arange(half) * 2
+    perm[half:] = np.arange(half) * 2 + 1
+    return perm
+
+
+def apply_rotary_emb_split(
+    x: jnp.ndarray, freqs_split: Tuple[jnp.ndarray, jnp.ndarray]
+) -> jnp.ndarray:
+    """RoPE over split-half channels: x = [x1 | x2] along the last dim,
+    out = [x1*cos - x2*sin | x2*cos + x1*sin].  Equivalent to
+    :func:`apply_rotary_emb` conjugated by :func:`rope_channel_permutation`;
+    pure contiguous-slice elementwise math (VPU-friendly)."""
+    cos_s, sin_s = freqs_split
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate(
+        [x1 * cos_s - x2 * sin_s, x2 * cos_s + x1 * sin_s], axis=-1
+    )
 
 
 def get_latent_coords(

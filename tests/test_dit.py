@@ -183,3 +183,80 @@ def test_jit_and_remat_consistency(tiny):
         params, cfg, tokens, grid, t, text, mask, attention_impl="xla", remat=True
     )
     np.testing.assert_allclose(np.asarray(eager), np.asarray(remat), atol=1e-6)
+
+
+def test_split_rope_and_cross_kv_match_baseline(tiny):
+    """The inference-optimized paths (split-RoPE permuted params, precomputed
+    cross-attention k/v) are numerically equivalent to the reference layout."""
+    from avatar_tpu.models.dit import (
+        permute_dit_params_for_split_rope,
+        precompute_cross_attention_kv,
+    )
+    from avatar_tpu.ops.rope import precompute_freqs_cis, split_freqs
+
+    cfg, params = tiny
+    tokens, grid, text, mask = _inputs(cfg)
+    t = jnp.asarray([0.5, 0.9])
+
+    base = dit_apply(params, cfg, tokens, grid, t, text, mask,
+                     attention_impl="xla")
+
+    # split-RoPE with permuted params
+    p_split = permute_dit_params_for_split_rope(params, cfg)
+    out_split = dit_apply(p_split, cfg, tokens, grid, t, text, mask,
+                          attention_impl="xla", rope_split=True)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(out_split),
+                               atol=2e-5)
+
+    # precomputed cross-attention k/v (on top of split-RoPE)
+    cross_kv, _ = precompute_cross_attention_kv(params, cfg, text)
+    out_kv = dit_apply(p_split, cfg, tokens, grid, t, None, mask,
+                       attention_impl="xla", rope_split=True,
+                       cross_kv=cross_kv)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(out_kv),
+                               atol=2e-5)
+
+    # explicit split freqs precompute (the pipeline path)
+    freqs = split_freqs(precompute_freqs_cis(
+        grid, dim=cfg.inner_dim, theta=cfg.positional_embedding_theta,
+        max_pos=cfg.positional_embedding_max_pos,
+    ))
+    out_pre = dit_apply(p_split, cfg, tokens, grid, t, None, mask,
+                        attention_impl="xla", rope_split=True,
+                        cross_kv=cross_kv, freqs_cis=freqs)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(out_pre),
+                               atol=2e-5)
+
+
+def test_split_rope_equivalence_op_level():
+    """apply_rotary_emb_split on permuted channels == permuted
+    apply_rotary_emb (the conjugation identity used for the kernel trick)."""
+    from avatar_tpu.ops.rope import (
+        apply_rotary_emb,
+        apply_rotary_emb_split,
+        precompute_freqs_cis,
+        rope_channel_permutation,
+        split_freqs,
+    )
+
+    dim = 96  # dim % 6 == 0
+    grid = get_latent_coords(2, 3, 4, batch_size=1)
+    freqs = precompute_freqs_cis(grid, dim=dim)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 24, dim))
+    perm = rope_channel_permutation(dim)
+    out_ref = apply_rotary_emb(x, freqs)
+    out_split = apply_rotary_emb_split(x[..., perm], split_freqs(freqs))
+    np.testing.assert_allclose(
+        np.asarray(out_ref[..., perm]), np.asarray(out_split), atol=1e-6
+    )
+
+    # dim % 6 != 0 exercises the identity-pair padding (dim=2048-style)
+    dim = 100  # pad = 100 % 6 = 4 -> 2 identity pairs
+    freqs = precompute_freqs_cis(grid, dim=dim)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 24, dim))
+    perm = rope_channel_permutation(dim)
+    out_ref = apply_rotary_emb(x, freqs)
+    out_split = apply_rotary_emb_split(x[..., perm], split_freqs(freqs))
+    np.testing.assert_allclose(
+        np.asarray(out_ref[..., perm]), np.asarray(out_split), atol=1e-6
+    )

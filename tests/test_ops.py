@@ -208,3 +208,73 @@ def test_patchify_pixels_matches_torch_channel_order(rng):
     ref = ref.transpose(0, 2, 3, 4, 1)
     out = patchify_pixels(jnp.asarray(x), patch_size_hw=4, patch_size_t=1)
     np.testing.assert_allclose(np.asarray(out), ref)
+
+
+class TestFusedTokenAttention:
+    """Token-major fused attention (ops/flash_attention.py) vs XLA oracle."""
+
+    def _check(self, b, lq, lk, heads, hd, mask=None, dtype=jnp.float32):
+        from avatar_tpu.ops.flash_attention import (
+            fused_supports,
+            fused_token_attention,
+        )
+        from avatar_tpu.ops.flash_attention import _fused_ref
+
+        assert fused_supports(lq, lk, heads, hd, dtype)
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        q = jax.random.normal(ks[0], (b, lq, heads * hd), dtype=dtype)
+        k = jax.random.normal(ks[1], (b, lk, heads * hd), dtype=dtype)
+        v = jax.random.normal(ks[2], (b, lk, heads * hd), dtype=dtype)
+        out = fused_token_attention(q, k, v, mask, heads, hd**-0.5)
+        ref = _fused_ref(q, k, v, mask, heads, hd**-0.5)
+        atol = 2e-2 if dtype == jnp.bfloat16 else 2e-5
+        np.testing.assert_allclose(
+            np.asarray(out, dtype=np.float32),
+            np.asarray(ref, dtype=np.float32), atol=atol,
+        )
+
+    def test_self_attention(self):
+        self._check(2, 64, 64, 4, 16)
+
+    def test_cross_attention(self):
+        self._check(1, 128, 32, 4, 16)
+
+    def test_kv_mask(self):
+        mask = jnp.ones((2, 64)).at[:, 40:].set(0.0)
+        self._check(2, 64, 64, 4, 16, mask=mask)
+
+    def test_fully_masked_row_is_zero(self):
+        from avatar_tpu.ops.flash_attention import fused_token_attention
+
+        ks = jax.random.split(jax.random.PRNGKey(1), 3)
+        q = jax.random.normal(ks[0], (1, 16, 32))
+        k = jax.random.normal(ks[1], (1, 16, 32))
+        v = jax.random.normal(ks[2], (1, 16, 32))
+        mask = jnp.zeros((1, 16))
+        out = fused_token_attention(q, k, v, mask, 2, 4.0**-0.5)
+        np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+    def test_bf16(self):
+        self._check(1, 32, 32, 2, 16, dtype=jnp.bfloat16)
+
+    def test_grad_matches_xla(self):
+        from avatar_tpu.ops.flash_attention import (
+            fused_token_attention,
+            _fused_ref,
+        )
+
+        ks = jax.random.split(jax.random.PRNGKey(2), 3)
+        q = jax.random.normal(ks[0], (1, 32, 32))
+        k = jax.random.normal(ks[1], (1, 32, 32))
+        v = jax.random.normal(ks[2], (1, 32, 32))
+
+        def loss_fused(q, k, v):
+            return jnp.sum(fused_token_attention(q, k, v, None, 2, 0.25) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(_fused_ref(q, k, v, None, 2, 0.25) ** 2)
+
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_fused, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
