@@ -93,6 +93,7 @@ def train_loop(config, resume: bool = True):
 
     optimizer = make_optimizer(config)
     opt_state = optimizer.init(trainable)
+    o_shard = None
     if config.sharding_mode in ("zero2", "fsdp"):
         # ZeRO-2: params replicated but optimizer moments sharded over 'fsdp'
         # (fsdp mode shards them consistently with the params).
@@ -102,7 +103,10 @@ def train_loop(config, resume: bool = True):
             mesh, opt_state, t_shard, mode=config.sharding_mode
         )
         opt_state = jax.tree.map(jax.device_put, opt_state, o_shard)
-    step_fn = make_train_step(dit_cfg, config, optimizer)
+    step_fn = make_train_step(
+        dit_cfg, config, optimizer,
+        trainable_sharding=t_shard, opt_state_sharding=o_shard,
+    )
     val_fn = validate_step_fn(dit_cfg, config)
 
     # -- data --

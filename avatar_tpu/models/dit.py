@@ -237,6 +237,7 @@ def _attention(
     lora_scale: float = 1.0,
     rope_split: bool = False,
     cross_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    sp_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """AttnProcessor2_0.__call__ equivalent (attention.py:943-1114).
 
@@ -299,6 +300,37 @@ def _attention(
             else:
                 q = apply_rotary_emb(q, freqs_cis)
                 k = apply_rotary_emb(k, freqs_cis)
+
+    if sp_axis is not None:
+        # Inside shard_map with token-sharded activations: Ulysses
+        # all-to-all for self-attention, replicated-kv local attention for
+        # cross-attention (parallel/sequence.py).
+        from avatar_tpu.parallel.sequence import (
+            ulysses_attention,
+            ulysses_cross_attention,
+        )
+
+        if use_split_rope:
+            q, k = split_to_head_major(q), split_to_head_major(k)
+        if is_cross:
+            out = ulysses_cross_attention(
+                split(q), split(k), split(v), axis_name=sp_axis,
+                kv_mask=kv_mask, attention_impl=attention_impl,
+            )
+        else:
+            out = ulysses_attention(
+                split(q), split(k), split(v), axis_name=sp_axis,
+                kv_mask=kv_mask, attention_impl=attention_impl,
+            )
+        out = out.transpose(0, 2, 1, 3).reshape(b, -1, heads * head_dim)
+        out = out.astype(q.dtype)
+        if skip_layer_mask is not None:
+            m = skip_layer_mask.reshape(b, 1, 1)
+            if skip_layer_strategy == SkipLayerStrategy.AttentionSkip:
+                out = out * m + x * (1.0 - m)
+            elif skip_layer_strategy == SkipLayerStrategy.AttentionValues:
+                out = out * m + value_for_stg * (1.0 - m)
+        return proj("to_out", out)
 
     # Token-major fused kernel (TPU): heads sliced by BlockSpec, no
     # [B,H,L,D] transposes, whole-row softmax in VMEM.
@@ -371,6 +403,7 @@ def _block_apply(
     lora_scale: float = 1.0,
     rope_split: bool = False,
     cross_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    sp_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """BasicTransformerBlock.forward (attention.py:198-321)."""
     b = x.shape[0]
@@ -404,6 +437,7 @@ def _block_apply(
         lora=None if lora is None else lora.get("attn1"),
         lora_scale=lora_scale,
         rope_split=rope_split,
+        sp_axis=sp_axis,
     )
     if gate_msa is not None:
         attn_out = gate_msa * attn_out
@@ -425,6 +459,7 @@ def _block_apply(
             lora=None if lora is None else lora.get("attn2"),
             lora_scale=lora_scale,
             cross_kv=cross_kv,
+            sp_axis=sp_axis,
         )
         x = x + attn_out
 
@@ -465,6 +500,7 @@ def dit_apply(
     freqs_cis: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     rope_split: bool = False,
     cross_kv: Optional[Sequence[Tuple[jnp.ndarray, jnp.ndarray]]] = None,
+    sp_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Transformer3DModel.forward (transformer3d.py:361-565) minus the avatar
     lerp (see :func:`avatar_condition_tokens`). Returns velocity tokens
@@ -528,6 +564,7 @@ def dit_apply(
                 attention_impl=attention_impl,
                 lora=block_lora, lora_scale=lora_scale,
                 rope_split=rope_split, cross_kv=block_kv,
+                sp_axis=sp_axis,
             )
 
         fn = jax.checkpoint(run) if remat else run

@@ -96,3 +96,86 @@ def ulysses_cross_attention(
     return scaled_dot_product_attention(
         q, k, v, mask=kv_mask, scale=scale, impl=attention_impl
     )
+
+
+def dit_apply_sp(
+    params: dict,
+    cfg,
+    hidden_states: jnp.ndarray,  # [B, N, C] tokens (N % sp == 0)
+    indices_grid: jnp.ndarray,  # [B, 3, N]
+    timestep: jnp.ndarray,  # [B] or [B, N]
+    encoder_hidden_states: Optional[jnp.ndarray] = None,
+    encoder_attention_mask: Optional[jnp.ndarray] = None,
+    *,
+    mesh,
+    axis: str = "sp",
+    skip_layer_mask: Optional[jnp.ndarray] = None,
+    skip_layer_strategy=None,
+    attention_impl: str = "auto",
+    lora: Optional[dict] = None,
+    lora_scale: float = 1.0,
+    remat: bool = False,
+    freqs_cis=None,
+    rope_split: bool = False,
+    cross_kv=None,
+) -> jnp.ndarray:
+    """Sequence-parallel ``dit_apply``: the full 28-block DiT under
+    ``shard_map`` with token-sharded activations.
+
+    Everything except self-attention is embarrassingly token-parallel
+    (projections, norms, AdaLN modulation, the MLP); self-attention becomes
+    Ulysses all-to-all (heads<->tokens re-shard, two collectives per block
+    over ICI) and cross-attention attends local queries against the
+    replicated text kv with no communication.  This is the long-context
+    machinery the reference lacks entirely (SURVEY §5): the 512px/161-frame
+    BASELINE config's ~10k-token sequences shard across a v5p slice.
+
+    Requires N % sp_size == 0 and num_heads % sp_size == 0.
+    """
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from avatar_tpu.models.dit import dit_apply
+
+    s = mesh.shape[axis]
+    n = hidden_states.shape[1]
+    assert n % s == 0, f"tokens {n} not divisible by sp={s}"
+    assert cfg.num_attention_heads % s == 0, (cfg.num_attention_heads, s)
+
+    tok = P(None, axis, None)
+    rep = P()
+
+    args = (
+        params, hidden_states, indices_grid, timestep,
+        encoder_hidden_states, encoder_attention_mask,
+        skip_layer_mask, freqs_cis, cross_kv, lora,
+    )
+    t_spec = rep if timestep.ndim == 1 else P(None, axis)
+    specs = (
+        rep,                    # params (replicated)
+        tok,                    # hidden_states
+        P(None, None, axis),    # indices_grid
+        t_spec,                 # timestep
+        rep,                    # encoder_hidden_states
+        rep,                    # encoder_attention_mask
+        rep,                    # skip_layer_mask
+        tok,                    # freqs_cis (cos, sin) [B, N, dim]
+        rep,                    # cross_kv
+        rep,                    # lora
+    )
+
+    @partial(
+        shard_map, mesh=mesh, in_specs=specs, out_specs=tok, check_vma=False
+    )
+    def inner(params, hs, grid, t, eh, eam, slm, fc, ckv, lr):
+        return dit_apply(
+            params, cfg, hs, grid, t, eh, eam,
+            skip_layer_mask=slm, skip_layer_strategy=skip_layer_strategy,
+            attention_impl=attention_impl, lora=lr, lora_scale=lora_scale,
+            remat=remat, freqs_cis=fc, rope_split=rope_split, cross_kv=ckv,
+            sp_axis=axis,
+        )
+
+    return inner(*args)

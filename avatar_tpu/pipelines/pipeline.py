@@ -163,6 +163,8 @@ class LTXVideoPipeline:
         allowed_inference_steps: Optional[List[float]] = None,
         quantize_weights: bool = False,
         rope_split: bool = True,
+        sp_mesh=None,
+        sp_axis: str = "sp",
     ):
         self.dit_cfg = dit_cfg
         if quantize_weights:
@@ -184,6 +186,10 @@ class LTXVideoPipeline:
         self.text_encoder = text_encoder
         self.patch_size = patch_size
         self.attention_impl = attention_impl
+        # Sequence parallelism: shard the token axis of the denoiser over
+        # `sp_mesh[sp_axis]` (Ulysses attention; parallel/sequence.py).
+        self.sp_mesh = sp_mesh
+        self.sp_axis = sp_axis
         self.allowed_inference_steps = allowed_inference_steps
         self.video_scale_factor = vae_cfg.temporal_downscale_factor
         self.vae_scale_factor = vae_cfg.spatial_downscale_factor
@@ -446,17 +452,33 @@ class LTXVideoPipeline:
                 if has_avatar:
                     latent_in = avatar_condition_tokens(latent_in, ref_b, pose_b)
 
-                noise_pred = dit_apply(
-                    dit_params, dit_cfg, latent_in, fractional_coords,
-                    current_t, None, prompt_mask_b,
-                    skip_layer_mask=skip_layer_mask,
-                    skip_layer_strategy=skip_strategy,
-                    attention_impl=attention_impl,
-                    lora=lora,
-                    freqs_cis=freqs_cis,
-                    rope_split=rope_split,
-                    cross_kv=cross_kv,
-                ).astype(latents.dtype)
+                if self.sp_mesh is not None:
+                    from avatar_tpu.parallel.sequence import dit_apply_sp
+
+                    noise_pred = dit_apply_sp(
+                        dit_params, dit_cfg, latent_in, fractional_coords,
+                        current_t, None, prompt_mask_b,
+                        mesh=self.sp_mesh, axis=self.sp_axis,
+                        skip_layer_mask=skip_layer_mask,
+                        skip_layer_strategy=skip_strategy,
+                        attention_impl=attention_impl,
+                        lora=lora,
+                        freqs_cis=freqs_cis,
+                        rope_split=rope_split,
+                        cross_kv=cross_kv,
+                    ).astype(latents.dtype)
+                else:
+                    noise_pred = dit_apply(
+                        dit_params, dit_cfg, latent_in, fractional_coords,
+                        current_t, None, prompt_mask_b,
+                        skip_layer_mask=skip_layer_mask,
+                        skip_layer_strategy=skip_strategy,
+                        attention_impl=attention_impl,
+                        lora=lora,
+                        freqs_cis=freqs_cis,
+                        rope_split=rope_split,
+                        cross_kv=cross_kv,
+                    ).astype(latents.dtype)
 
                 parts = jnp.split(noise_pred, num_conds, axis=0)
                 if do_cfg and do_stg:

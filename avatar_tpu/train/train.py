@@ -261,12 +261,19 @@ def make_train_step(
     cfg: TrainConfig,
     optimizer: optax.GradientTransformation,
     attention_impl: str = "auto",
+    trainable_sharding=None,
+    opt_state_sharding=None,
 ) -> Callable:
     """Build the jitted macro-batch step.
 
     batch arrays are shaped [accum, micro_b, ...]; gradient accumulation is
     a lax.scan over the leading axis with f32 grad accumulators
     (training.py:199-207 semantics: mean over accumulation steps).
+
+    ``trainable_sharding``/``opt_state_sharding``: NamedSharding pytrees
+    pinning the step's *outputs* — without them XLA may migrate params to a
+    different layout than the mode intends (e.g. ZeRO-2 params must come
+    back replicated, not fsdp-sharded) and the layout drifts from step 1 on.
     """
     accum = cfg.gradient_accumulation_steps
     remat = cfg.gradient_checkpointing
@@ -311,7 +318,10 @@ def make_train_step(
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, metrics
 
-    return jax.jit(step, donate_argnums=(0, 1))
+    out_shardings = None
+    if trainable_sharding is not None and opt_state_sharding is not None:
+        out_shardings = (trainable_sharding, opt_state_sharding, None)
+    return jax.jit(step, donate_argnums=(0, 1), out_shardings=out_shardings)
 
 
 def validate_step_fn(

@@ -85,3 +85,110 @@ def test_ulysses_cross_attention_matches(sp_mesh):
     )
     out = jax.jit(fn)(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_dit_apply_sp_matches_unsharded(sp_mesh):
+    """Full DiT under shard_map with token-sharded activations bit-matches
+    the unsharded forward (with rope_split+cross_kv optimizations too)."""
+    from avatar_tpu.models.dit import (
+        DiTConfig,
+        dit_apply,
+        init_dit,
+        permute_dit_params_for_split_rope,
+        precompute_cross_attention_kv,
+    )
+    from avatar_tpu.ops.rope import get_latent_coords
+    from avatar_tpu.parallel.sequence import dit_apply_sp
+
+    cfg = DiTConfig(
+        num_attention_heads=8, attention_head_dim=8, in_channels=16,
+        out_channels=16, num_layers=2, cross_attention_dim=64,
+        caption_channels=96,
+    )
+    params = init_dit(jax.random.PRNGKey(0), cfg)
+    b, f, h, w = 2, 4, 4, 4
+    tokens = jax.random.normal(jax.random.PRNGKey(1), (b, f * h * w, 16))
+    grid = get_latent_coords(f, h, w, batch_size=b)
+    text = jax.random.normal(jax.random.PRNGKey(2), (b, 8, 96))
+    mask = jnp.ones((b, 8))
+    t = jnp.asarray([0.5, 0.9])
+
+    base = dit_apply(params, cfg, tokens, grid, t, text, mask,
+                     attention_impl="xla")
+    out = dit_apply_sp(params, cfg, tokens, grid, t, text, mask,
+                       mesh=sp_mesh, attention_impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=2e-5)
+
+    # with the inference-optimized layout (split rope + precomputed cross kv)
+    p_split = permute_dit_params_for_split_rope(params, cfg)
+    cross_kv, _ = precompute_cross_attention_kv(params, cfg, text)
+    out_opt = dit_apply_sp(p_split, cfg, tokens, grid, t, None, mask,
+                           mesh=sp_mesh, attention_impl="xla",
+                           rope_split=True, cross_kv=cross_kv)
+    np.testing.assert_allclose(np.asarray(out_opt), np.asarray(base),
+                               atol=2e-5)
+
+    # per-token timesteps shard over the token axis too
+    t_tok = jnp.full((b, f * h * w), 0.5).at[:, 0].set(0.0)
+    base_tok = dit_apply(params, cfg, tokens, grid, t_tok, text, mask,
+                         attention_impl="xla")
+    out_tok = dit_apply_sp(params, cfg, tokens, grid, t_tok, text, mask,
+                           mesh=sp_mesh, attention_impl="xla")
+    np.testing.assert_allclose(np.asarray(out_tok), np.asarray(base_tok),
+                               atol=2e-5)
+
+
+def test_pipeline_sequence_parallel_matches(sp_mesh):
+    """Whole generation pipeline with sp_mesh == unsharded pipeline output
+    (VERDICT round-1 item 2 'done' criterion)."""
+    import dataclasses
+
+    from avatar_tpu.diffusion import RectifiedFlowSchedule
+    from avatar_tpu.models.dit import DiTConfig, init_dit
+    from avatar_tpu.models.vae import demo_config, init_vae
+    from avatar_tpu.pipelines import GenerationParams, LTXVideoPipeline
+
+    vae_cfg = dataclasses.replace(
+        demo_config(latent_channels=8), base_channels=32,
+        decoder_base_channels=32,
+    )
+    dit_cfg = DiTConfig(
+        num_attention_heads=8, attention_head_dim=8, in_channels=8,
+        out_channels=8, num_layers=2, cross_attention_dim=64,
+        caption_channels=32,
+    )
+    vae_params = init_vae(jax.random.PRNGKey(0), vae_cfg)
+    dit_params = init_dit(jax.random.PRNGKey(1), dit_cfg)
+    sched = RectifiedFlowSchedule.create(
+        sampler="Uniform", shifting="SD3", target_shift_terminal=0.1
+    )
+
+    def build(sp):
+        return LTXVideoPipeline(
+            dit_cfg, dit_params, vae_cfg, vae_params, schedule=sched,
+            attention_impl="xla", sp_mesh=sp_mesh if sp else None,
+        )
+
+    h = w = 64
+    frames = 9  # latent tokens: 2 x 2 x 2 = 8, divisible by 8 devices
+    params = GenerationParams(
+        height=h, width=w, num_frames=frames, frame_rate=25.0,
+        num_inference_steps=2, guidance_scale=1.0, stg_scale=0.0,
+        rescaling_scale=1.0, decode_timestep=0.05,
+    )
+    embeds = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 32))
+    mask = jnp.ones((1, 8))
+    ref = jax.random.normal(jax.random.PRNGKey(3), (1, 1, h, w, 3))
+    pose = jax.random.normal(jax.random.PRNGKey(4), (1, frames, h, w, 3))
+
+    out_base = build(False)(
+        params, jax.random.PRNGKey(0), embeds, mask, ref_image=ref,
+        pose_frames=pose, dtype=jnp.float32,
+    )
+    out_sp = build(True)(
+        params, jax.random.PRNGKey(0), embeds, mask, ref_image=ref,
+        pose_frames=pose, dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sp), np.asarray(out_base), atol=3e-5
+    )
