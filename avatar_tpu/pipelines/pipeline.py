@@ -90,7 +90,9 @@ class GenerationParams:
     guidance_timesteps: Optional[List[float]] = None
     cfg_star_rescale: bool = False
     skip_layer_strategy: Optional[SkipLayerStrategy] = None
-    skip_block_list: Optional[List[int]] = None
+    # flat list, or list-of-lists mapped per-step through
+    # guidance_timesteps (pipeline_ltx_video.py:975-984)
+    skip_block_list: Optional[Union[List[int], List[List[int]]]] = None
     decode_timestep: Union[float, List[float]] = 0.0
     decode_noise_scale: Optional[Union[float, List[float]]] = None
     tone_map_compression_ratio: float = 0.0
@@ -127,6 +129,18 @@ def adain_filter_latent(
     return latents + factor * (result - latents)
 
 
+def _guidance_mapping(
+    timesteps: np.ndarray, guidance_timesteps: List[float]
+) -> List[int]:
+    """Index of the guidance entry applying at each actual schedule step
+    (pipeline_ltx_video.py:946-955)."""
+    mapping = []
+    for t in timesteps:
+        indices = [i for i, v in enumerate(guidance_timesteps) if v <= t]
+        mapping.append(indices[0] if indices else len(guidance_timesteps) - 1)
+    return mapping
+
+
 def _as_step_array(
     value: Union[float, List[float]],
     timesteps: np.ndarray,
@@ -139,10 +153,7 @@ def _as_step_array(
     assert guidance_timesteps is not None, (
         "list-valued guidance requires guidance_timesteps"
     )
-    mapping = []
-    for t in timesteps:
-        indices = [i for i, v in enumerate(guidance_timesteps) if v <= t]
-        mapping.append(indices[0] if indices else len(guidance_timesteps) - 1)
+    mapping = _guidance_mapping(timesteps, guidance_timesteps)
     return np.asarray([value[m] for m in mapping], dtype=np.float32)
 
 
@@ -388,8 +399,8 @@ class LTXVideoPipeline:
         if statics in self._denoise_cache:
             return self._denoise_cache[statics]
         (num_conds, do_cfg, do_stg, cfg_star, stochastic, has_cond_mask,
-         has_avatar, has_skip_mask, image_cond_noise_scale, skip_strategy,
-         attention_impl) = statics
+         has_avatar, has_skip_mask, skip_mask_per_step,
+         image_cond_noise_scale, skip_strategy, attention_impl) = statics
         dit_cfg = self.dit_cfg
         patch_size = self.patch_size
         rope_split = self.rope_split
@@ -452,6 +463,11 @@ class LTXVideoPipeline:
                 if has_avatar:
                     latent_in = avatar_condition_tokens(latent_in, ref_b, pose_b)
 
+                step_skip_mask = (
+                    skip_layer_mask[i] if skip_mask_per_step
+                    else skip_layer_mask
+                )
+
                 if self.sp_mesh is not None:
                     from avatar_tpu.parallel.sequence import dit_apply_sp
 
@@ -459,7 +475,7 @@ class LTXVideoPipeline:
                         dit_params, dit_cfg, latent_in, fractional_coords,
                         current_t, None, prompt_mask_b,
                         mesh=self.sp_mesh, axis=self.sp_axis,
-                        skip_layer_mask=skip_layer_mask,
+                        skip_layer_mask=step_skip_mask,
                         skip_layer_strategy=skip_strategy,
                         attention_impl=attention_impl,
                         lora=lora,
@@ -471,7 +487,7 @@ class LTXVideoPipeline:
                     noise_pred = dit_apply(
                         dit_params, dit_cfg, latent_in, fractional_coords,
                         current_t, None, prompt_mask_b,
-                        skip_layer_mask=skip_layer_mask,
+                        skip_layer_mask=step_skip_mask,
                         skip_layer_strategy=skip_strategy,
                         attention_impl=attention_impl,
                         lora=lora,
@@ -673,16 +689,43 @@ class LTXVideoPipeline:
         )
 
         skip_layer_mask = None
+        skip_mask_per_step = False
         if do_stg and p.skip_block_list:
-            skip_layer_mask = create_skip_layer_mask(
-                self.dit_cfg.num_layers, batch_size, num_conds,
-                num_conds - 1, p.skip_block_list,
-            )
+            sbl = p.skip_block_list
+            if sbl and isinstance(sbl[0], (list, tuple)):
+                # per-timestep block lists mapped through the guidance
+                # mapping (pipeline_ltx_video.py:975-984): STG skips
+                # *different* blocks at different steps
+                assert p.guidance_timesteps, (
+                    "per-timestep skip_block_list requires guidance_timesteps"
+                )
+                mapping = _guidance_mapping(timesteps, p.guidance_timesteps)
+                masks = [
+                    create_skip_layer_mask(
+                        self.dit_cfg.num_layers, batch_size, num_conds,
+                        num_conds - 1, sbl[m],
+                    )
+                    for m in mapping
+                ]
+                ident = jnp.ones(
+                    (self.dit_cfg.num_layers, batch_size * num_conds),
+                    dtype=jnp.float32,
+                )
+                skip_layer_mask = jnp.stack(
+                    [m if m is not None else ident for m in masks]
+                )  # [num_steps, num_layers, B*num_conds]
+                skip_mask_per_step = True
+            else:
+                skip_layer_mask = create_skip_layer_mask(
+                    self.dit_cfg.num_layers, batch_size, num_conds,
+                    num_conds - 1, sbl,
+                )
 
         statics = (
             num_conds, do_cfg, do_stg, p.cfg_star_rescale,
             p.stochastic_sampling, cond_mask is not None, has_avatar,
-            skip_layer_mask is not None, float(p.image_cond_noise_scale),
+            skip_layer_mask is not None, skip_mask_per_step,
+            float(p.image_cond_noise_scale),
             p.skip_layer_strategy, self.attention_impl,
         )
         denoiser = self._get_denoiser(statics)

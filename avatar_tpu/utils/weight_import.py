@@ -74,6 +74,22 @@ VAE_KEYS_RENAME = {
 PER_CHANNEL_STATISTICS_PREFIX = "per_channel_statistics."
 
 
+def normalize_diffusers_state(
+    state: Dict[str, np.ndarray], kind: str
+) -> Dict[str, np.ndarray]:
+    """diffusers-directory key naming -> reference ("ours") naming, applying
+    the rename tables exactly as the reference does (substring replacement
+    per key, table order — transformer3d.py:320-331,
+    causal_video_autoencoder.py:248-296).  kind: 'transformer' | 'vae'."""
+    table = TRANSFORMER_KEYS_RENAME if kind == "transformer" else VAE_KEYS_RENAME
+    out = {}
+    for key, value in state.items():
+        for old, new in table.items():
+            key = key.replace(old, new)
+        out[key] = value
+    return out
+
+
 class _TrackedState(dict):
     """dict that records key reads so imports can assert full coverage."""
 

@@ -278,3 +278,88 @@ class TestFusedTokenAttention:
         g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
         for a, b in zip(g_fused, g_ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+class TestFlashBackwardHardening:
+    """Blocked flash backward coverage (VERDICT round-1 item 4): separate
+    q/k/v grads, kv masks incl. fully-masked rows, multi-block L > 512,
+    bf16 inputs vs fp32 XLA oracle (ops/flash_attention.py:243-468)."""
+
+    def _grads(self, fn, q, k, v, mask=None):
+        def loss(q, k, v):
+            out = fn(q, k, v)
+            return jnp.sum((out.astype(jnp.float32)) ** 2)
+
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    def _compare(self, lq, lk, block, mask=None, dtype=jnp.float32,
+                 atol=2e-4):
+        ks = jax.random.split(jax.random.PRNGKey(3), 3)
+        q = jax.random.normal(ks[0], (1, 2, lq, 32), dtype=dtype)
+        k = jax.random.normal(ks[1], (1, 2, lk, 32), dtype=dtype)
+        v = jax.random.normal(ks[2], (1, 2, lk, 32), dtype=dtype)
+
+        gf = self._grads(
+            lambda q, k, v: flash_attention(
+                q, k, v, kv_mask=mask, block_q=block, block_kv=block
+            ), q, k, v,
+        )
+        bias = None
+        if mask is not None:
+            bias = jnp.where(mask[:, None, None, :] > 0.5, 0.0, -1e30)
+        q32, k32, v32 = (t.astype(jnp.float32) for t in (q, k, v))
+        gx = self._grads(
+            lambda q, k, v: xla_attention(q, k, v, bias), q32, k32, v32
+        )
+        for name, a, b in zip("qkv", gf, gx):
+            np.testing.assert_allclose(
+                np.asarray(a, dtype=np.float32), np.asarray(b), atol=atol,
+                err_msg=f"d{name} mismatch (lq={lq}, lk={lk}, block={block})",
+            )
+
+    def test_separate_qkv_grads_single_block(self):
+        self._compare(128, 128, 128)
+
+    def test_multi_block_accumulation(self):
+        # L > 512 with block 128 -> multiple q and kv blocks; exercises the
+        # dk/dv scratch accumulation across inner grid steps
+        self._compare(640, 640, 128)
+
+    def test_cross_attention_grads(self):
+        self._compare(256, 128, 128)
+
+    def test_kv_mask_grads(self):
+        mask = jnp.ones((1, 256)).at[:, 200:].set(0.0)
+        self._compare(256, 256, 128, mask=mask)
+
+    def test_fully_masked_rows_zero_grads(self):
+        """All kv masked: output is 0, every grad must be exactly 0 (the
+        LSE_MASKED sentinel keeps backward p == 0, no NaNs)."""
+        ks = jax.random.split(jax.random.PRNGKey(4), 3)
+        q = jax.random.normal(ks[0], (1, 2, 128, 32))
+        k = jax.random.normal(ks[1], (1, 2, 128, 32))
+        v = jax.random.normal(ks[2], (1, 2, 128, 32))
+        mask = jnp.zeros((1, 128))
+        gf = self._grads(
+            lambda q, k, v: flash_attention(
+                q, k, v, kv_mask=mask, block_q=128, block_kv=128
+            ), q, k, v,
+        )
+        for g in gf:
+            arr = np.asarray(g)
+            assert np.isfinite(arr).all()
+            np.testing.assert_allclose(arr, 0.0, atol=1e-7)
+
+    def test_partial_block_fully_masked(self):
+        """One kv BLOCK entirely masked while others live — the masked-block
+        exp/NEG_INF path must not poison accumulation."""
+        mask = jnp.ones((1, 384)).at[:, 128:256].set(0.0)
+        self._compare(256, 384, 128, mask=mask)
+
+    def test_bf16_grads_vs_fp32_oracle(self):
+        self._compare(256, 256, 128, dtype=jnp.bfloat16, atol=5e-2)
+
+    def test_bf16_masked_multiblock(self):
+        mask = jnp.ones((1, 384)).at[:, 300:].set(0.0)
+        self._compare(384, 384, 128, mask=mask, dtype=jnp.bfloat16,
+                      atol=5e-2)

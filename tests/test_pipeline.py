@@ -187,3 +187,33 @@ def test_offcenter_conditioning_item(pipeline):
     assert m[0, 0, 0, 3] == 1.0
     m[0, 0, 0, 3] = 0.0
     assert m.max() == 0.0
+
+
+def test_per_timestep_skip_block_list(pipeline):
+    """List-of-lists skip_block_list maps through guidance_timesteps so STG
+    skips different blocks at different steps (pipeline_ltx_video.py:975-984).
+    Constant per-step lists must equal the flat-list run; differing per-step
+    lists must change the output."""
+    embeds, mask = _prompt()
+    common = dict(
+        num_inference_steps=2, guidance_scale=1.0, stg_scale=1.0,
+        skip_layer_strategy=SkipLayerStrategy.AttentionSkip,
+        guidance_timesteps=[1.0, 0.3],
+    )
+    key = jax.random.PRNGKey(0)
+
+    flat = pipeline(
+        _params(**common, skip_block_list=[1]), key, embeds, mask,
+        dtype=jnp.float32,
+    )
+    const = pipeline(
+        _params(**common, skip_block_list=[[1], [1]]), key, embeds, mask,
+        dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(const), np.asarray(flat), atol=1e-6)
+
+    varying = pipeline(
+        _params(**common, skip_block_list=[[1], [0]]), key, embeds, mask,
+        dtype=jnp.float32,
+    )
+    assert not np.allclose(np.asarray(varying), np.asarray(flat), atol=1e-4)

@@ -165,3 +165,244 @@ def test_torch_saved_checkpoint_loads(tmp_path, tiny_dit):
         np.asarray(params["patchify_proj"]["kernel"]).astype(np.float32),
         atol=0.01,  # bf16 quantization of the stored values
     )
+
+
+# ---------------------------------------------------------------------------
+# Real-checkpoint key manifests (VERDICT round-1 item 5): the complete torch
+# key set of the shipped 2B transformer / LTX VAE, hand-enumerated from the
+# reference module trees (transformer3d.py:52-128, attention.py:38-321,
+# causal_video_autoencoder.py:122-177) — independent of our exporter.
+# ---------------------------------------------------------------------------
+
+
+def _real_transformer_key_manifest(num_layers=28):
+    keys = {
+        "patchify_proj.weight", "patchify_proj.bias",
+        "adaln_single.emb.timestep_embedder.linear_1.weight",
+        "adaln_single.emb.timestep_embedder.linear_1.bias",
+        "adaln_single.emb.timestep_embedder.linear_2.weight",
+        "adaln_single.emb.timestep_embedder.linear_2.bias",
+        "adaln_single.linear.weight", "adaln_single.linear.bias",
+        "caption_projection.linear_1.weight",
+        "caption_projection.linear_1.bias",
+        "caption_projection.linear_2.weight",
+        "caption_projection.linear_2.bias",
+        "scale_shift_table",
+        "proj_out.weight", "proj_out.bias",
+    }
+    for i in range(num_layers):
+        pre = f"transformer_blocks.{i}"
+        for attn in ("attn1", "attn2"):
+            for proj in ("to_q", "to_k", "to_v"):
+                keys |= {f"{pre}.{attn}.{proj}.weight",
+                         f"{pre}.{attn}.{proj}.bias"}
+            keys |= {f"{pre}.{attn}.to_out.0.weight",
+                     f"{pre}.{attn}.to_out.0.bias"}
+            # qk_norm = rms_norm in the 2B config -> weight only
+            keys |= {f"{pre}.{attn}.q_norm.weight",
+                     f"{pre}.{attn}.k_norm.weight"}
+        keys |= {
+            f"{pre}.ff.net.0.proj.weight", f"{pre}.ff.net.0.proj.bias",
+            f"{pre}.ff.net.2.weight", f"{pre}.ff.net.2.bias",
+            f"{pre}.scale_shift_table",
+        }
+        # norm1/norm2: norm_elementwise_affine=False -> no parameters
+    return keys
+
+
+def _real_vae_key_manifest(timestep_conditioning=False):
+    """Key set for the shipped LTX VAE block grammar
+    (LTX_VAE_CONFIG / OURS_VAE_CONFIG in diffusers_config_mapping.py:106-130):
+    pixel_norm (no norm params), uniform log-var, CausalConv3d everywhere."""
+    blocks = [
+        ("res_x", 4), ("compress_all", 1), ("res_x_y", 1), ("res_x", 3),
+        ("compress_all", 1), ("res_x_y", 1), ("res_x", 3),
+        ("compress_all", 1), ("res_x", 3), ("res_x", 4),
+    ]
+    keys = set()
+
+    def causal_conv(prefix):
+        return {f"{prefix}.conv.weight", f"{prefix}.conv.bias"}
+
+    def resnet(prefix, in_out_differ, tconf):
+        k = causal_conv(f"{prefix}.conv1") | causal_conv(f"{prefix}.conv2")
+        if in_out_differ:  # make_linear_nd shortcut + LayerNormNd norm3
+            k |= {f"{prefix}.conv_shortcut.weight",
+                  f"{prefix}.conv_shortcut.bias",
+                  f"{prefix}.norm3.norm.weight", f"{prefix}.norm3.norm.bias"}
+        if tconf:
+            k.add(f"{prefix}.scale_shift_table")
+        return k
+
+    # encoder: channels double on compress_all; res_x keeps, res_x_y scales
+    # by the multiplier (1 here -> in==out for all res blocks except via
+    # explicit channel steps — in the shipped config every res block is
+    # channel-preserving, conv_shortcut never appears in the encoder
+    # res_x/res_x_y blocks; the decoder mirrors this).
+    # res_x_y entries: the int is num_layers, so the channel multiplier
+    # keeps its default of 2 (causal_video_autoencoder.py:391-392) -> every
+    # res_x_y block changes channels and carries conv_shortcut + norm3.
+    # Decoder res_x_y blocks are built with timestep_conditioning=False even
+    # when the decoder is conditioned (causal_video_autoencoder.py:656-668);
+    # only the res_x (UNetMidBlock3D) resnets get scale_shift_table.
+    keys |= causal_conv("encoder.conv_in")
+    for i, (name, n) in enumerate(blocks):
+        pre = f"encoder.down_blocks.{i}"
+        if name == "res_x":
+            for j in range(n):
+                keys |= resnet(f"{pre}.res_blocks.{j}", False, False)
+        elif name == "res_x_y":
+            keys |= resnet(pre, True, False)
+        elif name == "compress_all":
+            keys |= causal_conv(pre)
+    keys |= causal_conv("encoder.conv_out")
+
+    keys |= causal_conv("decoder.conv_in")
+    for i, (name, n) in enumerate(reversed(blocks)):
+        pre = f"decoder.up_blocks.{i}"
+        if name == "res_x":
+            for j in range(n):
+                keys |= resnet(f"{pre}.res_blocks.{j}", False,
+                               timestep_conditioning)
+            if timestep_conditioning:
+                # each UNetMidBlock3D carries its own time embedder
+                # (causal_video_autoencoder.py:849-851)
+                keys |= {
+                    f"{pre}.time_embedder.timestep_embedder.linear_1.weight",
+                    f"{pre}.time_embedder.timestep_embedder.linear_1.bias",
+                    f"{pre}.time_embedder.timestep_embedder.linear_2.weight",
+                    f"{pre}.time_embedder.timestep_embedder.linear_2.bias",
+                }
+        elif name == "res_x_y":
+            keys |= resnet(pre, True, False)
+        elif name == "compress_all":
+            keys |= causal_conv(f"{pre}.conv")  # DepthToSpaceUpsample.conv
+    keys |= causal_conv("decoder.conv_out")
+    if timestep_conditioning:
+        keys |= {
+            "decoder.timestep_scale_multiplier",
+            "decoder.last_time_embedder.timestep_embedder.linear_1.weight",
+            "decoder.last_time_embedder.timestep_embedder.linear_1.bias",
+            "decoder.last_time_embedder.timestep_embedder.linear_2.weight",
+            "decoder.last_time_embedder.timestep_embedder.linear_2.bias",
+            "decoder.last_scale_shift_table",
+        }
+    keys |= {"per_channel_statistics.std-of-means",
+             "per_channel_statistics.mean-of-means"}
+    return keys
+
+
+def test_transformer_import_consumes_real_2b_key_manifest():
+    """Full 28-layer key set (reduced dims, identical key names): our export
+    must produce exactly the manifest, and strict import must consume every
+    key and reject leftovers."""
+    cfg = DiTConfig(
+        num_attention_heads=4, attention_head_dim=8, in_channels=16,
+        out_channels=16, num_layers=28, cross_attention_dim=32,
+        caption_channels=64, attention_bias=True, qk_norm="rms_norm",
+        norm_elementwise_affine=False,
+    )
+    params = init_dit(jax.random.PRNGKey(0), cfg)
+    state = export_transformer_state(params, cfg)
+    manifest = _real_transformer_key_manifest(28)
+    assert set(state) == manifest, (
+        sorted(manifest - set(state))[:5], sorted(set(state) - manifest)[:5]
+    )
+
+    imported = import_transformer_state(state, cfg, strict=True)
+    assert len(imported["blocks"]) == 28
+
+    state_extra = dict(state)
+    state_extra["transformer_blocks.0.attn1.stray.weight"] = np.zeros((2, 2))
+    with pytest.raises(ValueError, match="Unconsumed"):
+        import_transformer_state(state_extra, cfg, strict=True)
+
+
+@pytest.mark.parametrize("tconf", [False, True])
+def test_vae_import_consumes_real_ltx_key_manifest(tconf):
+    """The shipped LTX VAE block grammar (10 blocks, pixel_norm, causal
+    convs, per-channel statistics, optional timestep-conditioned decoder):
+    export == hand manifest, strict import consumes everything."""
+    import dataclasses
+
+    from avatar_tpu.models.vae import LTX_VAE_CONFIG, VAEConfig
+
+    cfg = VAEConfig.from_dict(
+        {**LTX_VAE_CONFIG, "timestep_conditioning": tconf}
+    )
+    # reduce width only (dims/keys identical to the real checkpoint)
+    cfg = dataclasses.replace(
+        cfg, base_channels=8, decoder_base_channels=8, latent_channels=4
+    )
+    params = init_vae(jax.random.PRNGKey(0), cfg)
+    # the real checkpoint carries per-channel statistics buffers
+    params["per_channel_statistics"] = {
+        "std_of_means": np.ones((4,), np.float32),
+        "mean_of_means": np.zeros((4,), np.float32),
+    }
+    state = export_vae_state(params, cfg)
+    manifest = _real_vae_key_manifest(timestep_conditioning=tconf)
+    assert set(state) == manifest, (
+        sorted(manifest - set(state))[:8], sorted(set(state) - manifest)[:8]
+    )
+
+    imported = import_vae_state(state, cfg, strict=True)
+    assert "per_channel_statistics" in imported
+
+    state_extra = dict(state)
+    state_extra["decoder.stray"] = np.zeros((2,))
+    with pytest.raises(ValueError, match="Unconsumed"):
+        import_vae_state(state_extra, cfg, strict=True)
+
+
+def test_diffusers_rename_tables():
+    """Every rename rule in both tables produces the reference key the
+    single-file importer expects (diffusers_config_mapping.py:140-174)."""
+    from avatar_tpu.utils.weight_import import normalize_diffusers_state
+
+    t_pairs = {
+        "proj_in.weight": "patchify_proj.weight",
+        "time_embed.emb.timestep_embedder.linear_1.weight":
+            "adaln_single.emb.timestep_embedder.linear_1.weight",
+        "transformer_blocks.3.attn1.norm_q.weight":
+            "transformer_blocks.3.attn1.q_norm.weight",
+        "transformer_blocks.3.attn1.norm_k.weight":
+            "transformer_blocks.3.attn1.k_norm.weight",
+    }
+    got = normalize_diffusers_state(
+        {k: np.zeros(()) for k in t_pairs}, "transformer"
+    )
+    assert set(got) == set(t_pairs.values())
+
+    v_pairs = {
+        # every VAE table rule exercised at least once
+        "decoder.up_blocks.3.conv_in.conv.weight": "decoder.up_blocks.7.conv.weight",
+        "decoder.up_blocks.3.upsamplers.0.conv.weight": "decoder.up_blocks.8.conv.weight",
+        "decoder.up_blocks.3.resnets.1.conv1.conv.weight": "decoder.up_blocks.9.res_blocks.1.conv1.conv.weight",
+        "decoder.up_blocks.2.upsamplers.0.conv.weight": "decoder.up_blocks.5.conv.weight",
+        "decoder.up_blocks.2.conv_in.conv.weight": "decoder.up_blocks.4.conv.weight",
+        "decoder.up_blocks.2.resnets.0.conv2.conv.bias": "decoder.up_blocks.6.res_blocks.0.conv2.conv.bias",
+        "decoder.up_blocks.1.upsamplers.0.conv.weight": "decoder.up_blocks.2.conv.weight",
+        "decoder.up_blocks.1.resnets.0.norm3.weight": "decoder.up_blocks.3.res_blocks.0.norm3.norm.weight",
+        "decoder.up_blocks.0.resnets.0.conv1.conv.weight": "decoder.up_blocks.1.res_blocks.0.conv1.conv.weight",
+        "decoder.mid_block.resnets.0.conv1.conv.weight": "decoder.up_blocks.0.res_blocks.0.conv1.conv.weight",
+        "encoder.down_blocks.3.resnets.0.conv1.conv.weight": "encoder.down_blocks.8.res_blocks.0.conv1.conv.weight",
+        "encoder.down_blocks.2.downsamplers.0.conv.weight": "encoder.down_blocks.7.conv.weight",
+        "encoder.down_blocks.2.resnets.0.conv1.conv.weight": "encoder.down_blocks.6.res_blocks.0.conv1.conv.weight",
+        "encoder.down_blocks.1.downsamplers.0.conv.weight": "encoder.down_blocks.4.conv.weight",
+        "encoder.down_blocks.1.conv_out.conv.weight": "encoder.down_blocks.5.conv.weight",
+        "encoder.down_blocks.1.resnets.0.conv1.conv.weight": "encoder.down_blocks.3.res_blocks.0.conv1.conv.weight",
+        "encoder.down_blocks.0.conv_out.conv.weight": "encoder.down_blocks.2.conv.weight",
+        "encoder.down_blocks.0.downsamplers.0.conv.weight": "encoder.down_blocks.1.conv.weight",
+        "encoder.down_blocks.0.resnets.0.conv1.conv.weight": "encoder.down_blocks.0.res_blocks.0.conv1.conv.weight",
+        "encoder.mid_block.resnets.0.conv1.conv.weight": "encoder.down_blocks.9.res_blocks.0.conv1.conv.weight",
+        "some.block.conv_shortcut.conv.weight": "some.block.conv_shortcut.weight",
+        "latents_mean": "per_channel_statistics.mean-of-means",
+        "latents_std": "per_channel_statistics.std-of-means",
+    }
+    got = normalize_diffusers_state(
+        {k: np.zeros(()) for k in v_pairs}, "vae"
+    )
+    assert set(got) == set(v_pairs.values()), (
+        sorted(set(got) ^ set(v_pairs.values()))[:6]
+    )
