@@ -1,19 +1,22 @@
-"""Weight-only int8 quantization for inference.
+"""Weight-only int8 quantization: a memory-footprint tool, not a speed tool.
 
-The DiT denoising step is HBM-bandwidth-bound and weight reads are the
-largest irreducible term (CLAUDE.md round-2 notes): per-output-channel int8
-weights halve that traffic in principle (an isolated dequant-matmul measures
-1.5x on the FF shape on v5e). CAVEAT measured in round 1: inside the jitted
-denoising loop XLA hoists the loop-invariant dequant and materializes bf16
-weights once, so the XLA-only path currently gives ~no end-to-end speedup —
-realizing the 1.5x needs a Pallas matmul kernel that dequantizes in-register
-from int8 HBM reads (round-2 work; this module provides the format and
-accuracy baseline, mean-rel output error ~1.8% on random 2B weights).
+Measured reality on v5e (round 2, tools/perf_dit.py + /tmp/int8_mm bench):
+- the DiT step's weight matmuls are MXU-COMPUTE-bound (173-182 TF/s, ~90%
+  MFU at 832 tokens), not weight-read-bound, so halving weight bytes cannot
+  speed them up;
+- int8 x int8 matmuls run at 84-98 TOP/s through both XLA and Pallas
+  (vs 110-182 TF/s bf16) — the 394-TOPS int8 MXU mode is not reachable from
+  this stack, so W8A8 is not a win either.
 
-Quantized linears carry {"kernel_q": int8 [in, out], "scale": [out]} and are
-consumed transparently by ``models.layers.linear``. Applied at pipeline
-init only — checkpoints, training, and LoRA always use full-precision
-kernels.
+What int8 weights still buy: 2x smaller HBM footprint (the 2B DiT drops
+from ~4 GB to ~2 GB), which matters for multi-model serving or small-HBM
+chips. Quantized linears carry {"kernel_q": int8 [in, out], "scale": [out]}
+and are consumed transparently by ``models.layers.linear`` (XLA hoists the
+loop-invariant dequant, materializing bf16 weights once per run — so
+runtime speed is unchanged, memory is only saved until first use unless
+the denoiser is donated). Mean-rel output error ~1.8% on random 2B weights.
+Applied at pipeline init only — checkpoints, training, and LoRA always use
+full-precision kernels.
 """
 
 from __future__ import annotations
