@@ -7,8 +7,11 @@ flow never uses it (SURVEY §2.2: "kept for checkpoint compat"), but loading
 old ``VideoAutoencoder`` checkpoints keeps working here.
 
 Channels-last [B, F, H, W, C]; plain (non-causal) zero-padded convs. The
-``dims=(2,1)`` DualConv3d variant and ``add_channel_padding`` are not
-supported (raise with a clear message) — no shipped checkpoint uses them.
+``dims=(2,1)`` variant factors every conv into DualConv3d (spatial 2D then
+temporal 1D, ops/dual_conv3d.py) with the reference's skip-time-conv
+behavior for image (single-frame) down/upsampling, and
+``add_channel_padding`` replicates the reference's front-zero channel pad /
+front-truncation around pixel patchification (video_autoencoder.py:870-931).
 """
 
 from __future__ import annotations
@@ -22,6 +25,7 @@ import numpy as np
 
 from avatar_tpu.models.layers import group_norm, init_conv3d
 from avatar_tpu.ops.causal_conv3d import conv3d_same, linear_nd
+from avatar_tpu.ops.dual_conv3d import dual_conv3d
 from avatar_tpu.ops.normalization import pixel_norm
 from avatar_tpu.ops.pixel_shuffle import patchify_pixels, unpatchify_pixels
 
@@ -39,16 +43,20 @@ class VideoAutoencoderConfig:
     norm_layer: str = "group_norm"
     latent_log_var: str = "per_channel"
     use_quant_conv: bool = True
+    dims: object = 3  # 3 or (2, 1)
+    add_channel_padding: bool = False
 
     @classmethod
     def from_dict(cls, config: dict) -> "VideoAutoencoderConfig":
         assert config["_class_name"] == "VideoAutoencoder"
-        if config.get("add_channel_padding"):
-            raise NotImplementedError("add_channel_padding is not supported")
-        if config.get("dims", 3) != 3:
-            raise NotImplementedError("only dims=3 VideoAutoencoder is supported")
+        dims = config.get("dims", 3)
+        if isinstance(dims, list):
+            dims = tuple(dims)
+        assert dims in (3, (2, 1)), f"dims must be 3 or (2, 1), got {dims}"
         double_z = config.get("double_z", True)
         return cls(
+            dims=dims,
+            add_channel_padding=config.get("add_channel_padding", False),
             latent_channels=config["latent_channels"],
             block_out_channels=tuple(config["block_out_channels"]),
             in_channels=config.get("in_channels", 3),
@@ -81,7 +89,22 @@ def _norm(params, x, cfg: VideoAutoencoderConfig):
     return group_norm(params, x, cfg.norm_num_groups)
 
 
-def _conv(p, x, stride=(1, 1, 1)):
+def _conv(p, x, stride=(1, 1, 1), skip_time_conv=False):
+    """Plain conv3d or DualConv3d params ({"spatial", "temporal"}).
+
+    skip_time_conv: the reference's DualConv3d image path — apply only the
+    spatial conv (dual_conv3d.py:116-131,157-168)."""
+    if "spatial" in p:
+        sp, tp = p["spatial"], p["temporal"]
+        st, sh, sw = stride
+        if skip_time_conv:
+            return conv3d_same(
+                x, sp["kernel"], sp.get("bias"), stride=(1, sh, sw)
+            )
+        return dual_conv3d(
+            x, sp["kernel"], tp["kernel"], sp.get("bias"), tp.get("bias"),
+            stride=stride,
+        )
     kt = p["kernel"].shape[0]
     return conv3d_same(
         x, p["kernel"], p.get("bias"), stride=stride,
@@ -95,13 +118,28 @@ def _init_norm(ch, cfg):
     return {"scale": jnp.ones((ch,)), "bias": jnp.zeros((ch,))}
 
 
+def _init_conv(key, cin, cout, cfg, kernel_size=3):
+    """dims-aware conv init: plain conv3d or DualConv3d pair (intermediate
+    channels = max(cin, cout), reference dual_conv3d.py:47-49)."""
+    if cfg.dims == 3:
+        return init_conv3d(key, cin, cout, kernel_size)
+    mid = cout if cin < cout else cin
+    k1, k2 = jax.random.split(key)
+    sp = init_conv3d(k1, cin, mid, kernel_size)
+    tp = init_conv3d(k2, mid, cout, kernel_size)
+    return {
+        "spatial": {"kernel": sp["kernel"][:1], "bias": sp["bias"]},
+        "temporal": {"kernel": tp["kernel"][:, :1, :1], "bias": tp["bias"]},
+    }
+
+
 def _init_resnet(key, cin, cout, cfg):
     ks = jax.random.split(key, 3)
     p = {
         "norm1": _init_norm(cin, cfg),
-        "conv1": init_conv3d(ks[0], cin, cout),
+        "conv1": _init_conv(ks[0], cin, cout, cfg),
         "norm2": _init_norm(cout, cfg),
-        "conv2": init_conv3d(ks[1], cout, cout),
+        "conv2": _init_conv(ks[1], cout, cout, cfg),
     }
     if cin != cout:
         from avatar_tpu.models.layers import init_linear
@@ -123,28 +161,42 @@ def _apply_resnet(p, x, cfg):
     return shortcut + h
 
 
-def _downsample(p, x, in_time: bool):
-    """Downsample3D with asymmetric (0,1) zero pad and stride-2 VALID conv
-    (video_autoencoder.py:773-810; the encoder uses downsample_padding=0)."""
-    pad_t = (0, 1) if in_time else (0, 0)
-    x = jnp.pad(x, ((0, 0), pad_t, (0, 1), (0, 1), (0, 0)))
-    stride = (2 if in_time else 1, 2, 2)
-    kernel = p["kernel"]
+def _valid_conv(x, kernel, bias, stride):
     out = jax.lax.conv_general_dilated(
         x, kernel.astype(x.dtype), stride, [(0, 0), (0, 0), (0, 0)],
         dimension_numbers=jax.lax.conv_dimension_numbers(
             x.shape, kernel.shape, ("NDHWC", "DHWIO", "NDHWC")
         ),
     )
-    if "bias" in p:
-        out = out + p["bias"].astype(out.dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
     return out
+
+
+def _downsample(p, x, in_time: bool):
+    """Downsample3D with asymmetric (0,1) zero pad and stride-2 VALID conv
+    (video_autoencoder.py:773-810; the encoder uses downsample_padding=0).
+    dims=(2,1): spatial conv strides (2,2); the temporal conv is skipped
+    entirely when not downsampling in time (skip_time_conv)."""
+    pad_t = (0, 1) if in_time else (0, 0)
+    x = jnp.pad(x, ((0, 0), pad_t, (0, 1), (0, 1), (0, 0)))
+    if "spatial" in p:
+        sp, tp = p["spatial"], p["temporal"]
+        x = _valid_conv(x, sp["kernel"], sp.get("bias"), (1, 2, 2))
+        if not in_time:
+            return x
+        return _valid_conv(x, tp["kernel"], tp.get("bias"), (2, 1, 1))
+    stride = (2 if in_time else 1, 2, 2)
+    return _valid_conv(x, p["kernel"], p.get("bias"), stride)
 
 
 def _upsample(p, x, in_time: bool):
     """Upsample3D: nearest 2x spatial (+ temporal) then conv
-    (video_autoencoder.py:812-860)."""
+    (video_autoencoder.py:812-860).  dims=(2,1) without temporal upsampling
+    applies only the spatial conv (skip_time_conv)."""
     x = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
+    if "spatial" in p and not in_time:
+        return _conv(p, x, skip_time_conv=True)
     if in_time:
         x = jnp.repeat(x, 2, axis=1)
     return _conv(p, x)
@@ -155,11 +207,14 @@ def init_video_autoencoder(key: jax.Array, cfg: VideoAutoencoderConfig) -> dict:
     boc = cfg.block_out_channels
     lpb = cfg.layers_per_block
 
-    # encoder
+    # encoder (add_channel_padding: conv_in/out consume patch_size**3
+    # channels regardless of patch_size_t — video_autoencoder.py:230-234)
+    if cfg.add_channel_padding:
+        enc_in_ch = cfg.in_channels * cfg.patch_size**3
+    else:
+        enc_in_ch = cfg.in_channels * cfg._pst * cfg.patch_size**2
     enc = {
-        "conv_in": init_conv3d(
-            next(ks), cfg.in_channels * cfg._pst * cfg.patch_size**2, boc[0]
-        ),
+        "conv_in": _init_conv(next(ks), enc_in_ch, boc[0], cfg),
         "down_blocks": [],
         "mid_block": [],
         "conv_norm_out": _init_norm(boc[-1], cfg),
@@ -172,7 +227,7 @@ def init_video_autoencoder(key: jax.Array, cfg: VideoAutoencoderConfig) -> dict:
                 _init_resnet(next(ks), ch if j == 0 else out_ch, out_ch, cfg)
             )
         if i < len(boc) - 1 and 2**i >= cfg.patch_size:
-            block["downsample"] = init_conv3d(next(ks), out_ch, out_ch)
+            block["downsample"] = _init_conv(next(ks), out_ch, out_ch, cfg)
         enc["down_blocks"].append(block)
         ch = out_ch
     enc["mid_block"] = [
@@ -183,20 +238,22 @@ def init_video_autoencoder(key: jax.Array, cfg: VideoAutoencoderConfig) -> dict:
         conv_out_ch *= 2
     elif cfg.latent_log_var == "uniform":
         conv_out_ch += 1
-    enc["conv_out"] = init_conv3d(next(ks), boc[-1], conv_out_ch)
+    enc["conv_out"] = _init_conv(next(ks), boc[-1], conv_out_ch, cfg)
 
     # decoder
     rev = list(reversed(boc))
+    if cfg.add_channel_padding:
+        dec_out_ch = cfg.out_channels * cfg.patch_size**3
+    else:
+        dec_out_ch = cfg.out_channels * cfg._pst * cfg.patch_size**2
     dec = {
-        "conv_in": init_conv3d(next(ks), cfg.latent_channels, rev[0]),
+        "conv_in": _init_conv(next(ks), cfg.latent_channels, rev[0], cfg),
         "mid_block": [
             _init_resnet(next(ks), rev[0], rev[0], cfg) for _ in range(lpb)
         ],
         "up_blocks": [],
         "conv_norm_out": _init_norm(boc[0], cfg),
-        "conv_out": init_conv3d(
-            next(ks), boc[0], cfg.out_channels * cfg._pst * cfg.patch_size**2
-        ),
+        "conv_out": _init_conv(next(ks), boc[0], dec_out_ch, cfg),
     }
     prev = rev[0]
     for i, out_ch in enumerate(rev):
@@ -206,7 +263,7 @@ def init_video_autoencoder(key: jax.Array, cfg: VideoAutoencoderConfig) -> dict:
                 _init_resnet(next(ks), prev if j == 0 else out_ch, out_ch, cfg)
             )
         if i < len(boc) - 1 and 2 ** (len(boc) - i - 1) > cfg.patch_size:
-            block["upsample"] = init_conv3d(next(ks), out_ch, out_ch)
+            block["upsample"] = _init_conv(next(ks), out_ch, out_ch, cfg)
         dec["up_blocks"].append(block)
         prev = out_ch
 
@@ -234,6 +291,13 @@ def video_encoder_apply(
     in_time = sample.shape[1] != 1
     pst = cfg._pst if in_time else 1
     x = patchify_pixels(sample, cfg.patch_size, pst)
+    if cfg.patch_size > pst and (pst > 1 or cfg.add_channel_padding):
+        # front zero channel pad to patch_size**3 * in_channels
+        # (video_autoencoder.py:886-901)
+        pad_ch = x.shape[-1] * (cfg.patch_size // pst) - x.shape[-1]
+        x = jnp.concatenate(
+            [jnp.zeros(x.shape[:-1] + (pad_ch,), x.dtype), x], axis=-1
+        )
     enc = params["encoder"]
     x = _conv(enc["conv_in"], x)
     for block in enc["down_blocks"]:
@@ -279,6 +343,10 @@ def video_decoder_apply(
     x = jax.nn.silu(x)
     x = _conv(dec["conv_out"], x)
     pst = cfg._pst if upsample_in_time else 1
+    if cfg.patch_size > pst and (pst > 1 or cfg.add_channel_padding):
+        # keep the leading channels (video_autoencoder.py:905-916)
+        keep = int(x.shape[-1] * (pst / cfg.patch_size))
+        x = x[..., :keep]
     return unpatchify_pixels(x, cfg.patch_size, pst)
 
 
@@ -291,6 +359,23 @@ def import_video_autoencoder_state(
     s = {k: np.asarray(v) for k, v in state.items()}
 
     def conv(key):
+        if f"{key}.weight1" in s:  # DualConv3d (dims=(2,1))
+            p = {
+                "spatial": {
+                    "kernel": jnp.asarray(
+                        s[f"{key}.weight1"].transpose(2, 3, 4, 1, 0)
+                    )
+                },
+                "temporal": {
+                    "kernel": jnp.asarray(
+                        s[f"{key}.weight2"].transpose(2, 3, 4, 1, 0)
+                    )
+                },
+            }
+            if f"{key}.bias1" in s:
+                p["spatial"]["bias"] = jnp.asarray(s[f"{key}.bias1"])
+                p["temporal"]["bias"] = jnp.asarray(s[f"{key}.bias2"])
+            return p
         p = {"kernel": jnp.asarray(s[f"{key}.weight"].transpose(2, 3, 4, 1, 0))}
         if f"{key}.bias" in s:
             p["bias"] = jnp.asarray(s[f"{key}.bias"])
