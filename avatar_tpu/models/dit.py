@@ -293,6 +293,31 @@ def _attention(
         k = _qk_norm(params.get("k_norm"), proj("to_k", ctx, qk_perm), cfg)
         v = proj("to_v", ctx)
         value_for_stg = v
+        if use_split_rope and sp_axis is None and kv_mask is None:
+            # RoPE fused into the attention kernel: no rope elementwise
+            # pass, no head-major relayout (ops/flash_attention.py).
+            from avatar_tpu.ops.attention import tpu_backend
+            from avatar_tpu.ops.flash_attention import (
+                rope_fused_attention,
+                rope_fused_supports,
+            )
+
+            if rope_fused_supports(
+                q.shape[1], heads, head_dim, q.dtype
+            ) and (tpu_backend() or attention_impl == "flash") and (
+                attention_impl in ("auto", "flash")
+            ):
+                out = rope_fused_attention(
+                    q, k, v, freqs_cis[0], freqs_cis[1], heads,
+                    head_dim**-0.5,
+                ).astype(q.dtype)
+                if skip_layer_mask is not None:
+                    m = skip_layer_mask.reshape(b, 1, 1)
+                    if skip_layer_strategy == SkipLayerStrategy.AttentionSkip:
+                        out = out * m + x * (1.0 - m)
+                    elif skip_layer_strategy == SkipLayerStrategy.AttentionValues:
+                        out = out * m + value_for_stg * (1.0 - m)
+                return proj("to_out", out)
         if not is_cross and freqs_cis is not None:
             if use_split_rope:
                 q = apply_rotary_emb_split(q, freqs_cis)

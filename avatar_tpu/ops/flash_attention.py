@@ -426,6 +426,134 @@ def _fused_fwd_impl(q, k, v, kv_mask, heads, scale):
     )(*args)
 
 
+def _rope_token_kernel(q1_ref, q2_ref, k1_ref, k2_ref, cos_ref, sin_ref,
+                       v_ref, o_ref, *, scale: float, head_dim: int):
+    """Token-major attention with RoPE applied in-kernel on the split-half
+    layout: q/k arrive as the two contiguous halves straight from the
+    (permuted) projections — no rope elementwise pass, no head-major
+    relayout ever materializes in HBM.  One (batch, head-group) per grid
+    step, whole-row softmax in VMEM."""
+    c = cos_ref[0]
+    s = sin_ref[0]
+    q1, q2 = q1_ref[0], q2_ref[0]
+    k1, k2 = k1_ref[0], k2_ref[0]
+    qr1 = q1 * c - q2 * s
+    qr2 = q2 * c + q1 * s
+    kr1 = k1 * c - k2 * s
+    kr2 = k2 * c + k1 * s
+    hd2 = head_dim // 2
+    for j in range(q1.shape[-1] // hd2):
+        lo = j * hd2
+        qh = jnp.concatenate([qr1[:, lo:lo + hd2], qr2[:, lo:lo + hd2]], -1)
+        kh = jnp.concatenate([kr1[:, lo:lo + hd2], kr2[:, lo:lo + hd2]], -1)
+        sc = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        m = jnp.max(sc, axis=-1, keepdims=True)
+        p = jnp.exp(sc - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        vlo = j * head_dim
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0][:, vlo:vlo + head_dim],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, vlo:vlo + head_dim] = (pv / l).astype(o_ref.dtype)
+
+
+def _rope_heads_per_block(heads: int, hd2: int):
+    # smallest valid group: VMEM per grid step scales with group width
+    for hpb in range(1, heads + 1):
+        if heads % hpb:
+            continue
+        if (hpb * hd2) % 128 == 0 or hpb == heads:
+            return hpb
+    return None
+
+
+def rope_fused_supports(lq: int, heads: int, head_dim: int, dtype) -> bool:
+    sub = 16 if dtype == jnp.bfloat16 else 8
+    return (
+        head_dim % 16 == 0
+        and head_dim <= 256
+        and _rope_heads_per_block(heads, head_dim // 2) is not None
+        and lq % sub == 0
+        and lq * lq * 4 <= 6 * 1024 * 1024
+    )
+
+
+def _rope_fused_impl(q, k, v, cos_s, sin_s, heads, scale):
+    b, lq, c = q.shape
+    hd = c // heads
+    hd2 = hd // 2
+    hpb = _rope_heads_per_block(heads, hd2)
+    half = c // 2
+    halfspec = pl.BlockSpec((1, lq, hpb * hd2), lambda i, g: (i, 0, g),
+                            memory_space=pltpu.VMEM)
+    fullspec = pl.BlockSpec((1, lq, hpb * hd), lambda i, g: (i, 0, g),
+                            memory_space=pltpu.VMEM)
+    args = [q[..., :half], q[..., half:], k[..., :half], k[..., half:],
+            cos_s, sin_s, v]
+    return pl.pallas_call(
+        functools.partial(_rope_token_kernel, scale=scale, head_dim=hd),
+        interpret=_interpret(),
+        grid=(b, heads // hpb),
+        in_specs=[halfspec] * 6 + [fullspec],
+        out_specs=fullspec,
+        out_shape=jax.ShapeDtypeStruct((b, lq, c), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+    )(*args)
+
+
+def _rope_fused_ref(q, k, v, cos_s, sin_s, heads, scale):
+    """jnp reference / backward recompute: split-half rope + head grouping
+    identical to models.dit's split_to_head_major path."""
+    from avatar_tpu.ops.rope import apply_rotary_emb_split
+
+    b, lq, c = q.shape
+    hd = c // heads
+
+    def to_head_major(t):
+        t = t.reshape(b, lq, 2, heads, hd // 2)
+        return t.transpose(0, 1, 3, 2, 4).reshape(b, lq, c)
+
+    q = to_head_major(apply_rotary_emb_split(q, (cos_s, sin_s)))
+    k = to_head_major(apply_rotary_emb_split(k, (cos_s, sin_s)))
+    return _fused_ref(q, k, v, None, heads, scale)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def rope_fused_attention(q, k, v, cos_s, sin_s, heads, scale):
+    """Self-attention over split-RoPE-layout token-major tensors with the
+    rotation fused into the kernel.  q/k: [B, L, C] in global split-half
+    channel order; cos_s/sin_s: [B, L, C/2].  Shapes must satisfy
+    :func:`rope_fused_supports`."""
+    return _rope_fused_impl(q, k, v, cos_s, sin_s, heads, scale)
+
+
+def _rope_fused_fwd(q, k, v, cos_s, sin_s, heads, scale):
+    return _rope_fused_impl(q, k, v, cos_s, sin_s, heads, scale), (
+        q, k, v, cos_s, sin_s,
+    )
+
+
+def _rope_fused_bwd(heads, scale, residuals, g):
+    q, k, v, cos_s, sin_s = residuals
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _rope_fused_ref(q_, k_, v_, cos_s, sin_s, heads,
+                                           scale),
+        q, k, v,
+    )
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None, None
+
+
+rope_fused_attention.defvjp(_rope_fused_fwd, _rope_fused_bwd)
+
+
 def _fused_ref(q, k, v, kv_mask, heads, scale):
     """jnp reference (and backward-pass recompute) of the token-major path."""
     from avatar_tpu.ops.attention import xla_attention

@@ -771,4 +771,10 @@ class LTXVideoPipeline:
         if output_type == "uint8":
             # device-side quantization: 4x smaller host transfer
             images = (images * 255.0 + 0.5).astype(jnp.uint8)
+        elif output_type == "yuv420":
+            # device-side I420: 8x smaller transfer than f32 RGB, and the
+            # planar layout video muxers consume directly (ops/color.py)
+            from avatar_tpu.ops.color import rgb_to_yuv420
+
+            images = rgb_to_yuv420(images)
         return images

@@ -363,3 +363,104 @@ class TestFlashBackwardHardening:
         mask = jnp.ones((1, 384)).at[:, 300:].set(0.0)
         self._compare(384, 384, 128, mask=mask, dtype=jnp.bfloat16,
                       atol=5e-2)
+
+
+class TestRopeFusedAttention:
+    """In-kernel RoPE attention vs the explicit rope + head-major + XLA
+    reference path."""
+
+    def _data(self, b, l, heads, hd, dtype=jnp.float32, key=5):
+        from avatar_tpu.ops.rope import (
+            get_latent_coords, precompute_freqs_cis, split_freqs,
+        )
+
+        c = heads * hd
+        ks = jax.random.split(jax.random.PRNGKey(key), 3)
+        q = jax.random.normal(ks[0], (b, l, c), dtype=dtype)
+        k = jax.random.normal(ks[1], (b, l, c), dtype=dtype)
+        v = jax.random.normal(ks[2], (b, l, c), dtype=dtype)
+        grid = get_latent_coords(2, 4, l // 8, batch_size=b)
+        cos, sin = split_freqs(precompute_freqs_cis(grid, dim=c))
+        return q, k, v, cos.astype(dtype), sin.astype(dtype)
+
+    @pytest.mark.parametrize("heads,hd", [(4, 16), (8, 32)])
+    def test_matches_reference(self, heads, hd):
+        from avatar_tpu.ops.flash_attention import (
+            _rope_fused_ref,
+            rope_fused_attention,
+            rope_fused_supports,
+        )
+
+        b, l = 2, 64
+        q, k, v, cos, sin = self._data(b, l, heads, hd)
+        assert rope_fused_supports(l, heads, hd, q.dtype)
+        out = rope_fused_attention(q, k, v, cos, sin, heads, hd**-0.5)
+        ref = _rope_fused_ref(q, k, v, cos, sin, heads, hd**-0.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
+    def test_grads_match_reference(self):
+        from avatar_tpu.ops.flash_attention import (
+            _rope_fused_ref,
+            rope_fused_attention,
+        )
+
+        q, k, v, cos, sin = self._data(1, 32, 4, 16)
+
+        def loss(fn):
+            return lambda q, k, v: jnp.sum(fn(q, k, v, cos, sin, 4, 0.25) ** 2)
+
+        gk = jax.grad(loss(rope_fused_attention), argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss(_rope_fused_ref), argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=1e-4)
+
+    def test_dit_attention_equivalence_with_rope_kernel(self):
+        """dit_apply with the rope-fused kernel path (impl='flash', CPU
+        interpret) equals the xla path."""
+        from avatar_tpu.models.dit import (
+            DiTConfig, dit_apply, init_dit,
+            permute_dit_params_for_split_rope,
+        )
+        from avatar_tpu.ops.rope import get_latent_coords
+
+        cfg = DiTConfig(
+            num_attention_heads=4, attention_head_dim=16, in_channels=16,
+            out_channels=16, num_layers=2, cross_attention_dim=64,
+            caption_channels=96,
+        )
+        params = init_dit(jax.random.PRNGKey(0), cfg)
+        b, f, h, w = 1, 2, 4, 8
+        tokens = jax.random.normal(jax.random.PRNGKey(1), (b, f * h * w, 16))
+        grid = get_latent_coords(f, h, w, batch_size=b)
+        text = jax.random.normal(jax.random.PRNGKey(2), (b, 16, 96))
+        mask = jnp.ones((b, 16))
+        t = jnp.asarray([0.5])
+        base = dit_apply(params, cfg, tokens, grid, t, text, mask,
+                         attention_impl="xla")
+        p_split = permute_dit_params_for_split_rope(params, cfg)
+        out = dit_apply(p_split, cfg, tokens, grid, t, text, mask,
+                        attention_impl="flash", rope_split=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                                   atol=5e-5)
+
+
+def test_rgb_to_yuv420_matches_cv2():
+    """Device I420 conversion vs OpenCV's COLOR_RGB2YUV_I420."""
+    cv2 = pytest.importorskip("cv2")
+
+    from avatar_tpu.ops.color import rgb_to_yuv420
+
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 256, (2, 16, 24, 3), dtype=np.uint8)
+    ours = np.asarray(rgb_to_yuv420(jnp.asarray(rgb)))
+    for f in range(rgb.shape[0]):
+        ref = cv2.cvtColor(rgb[f], cv2.COLOR_RGB2YUV_I420)
+        assert ours[f].shape == ref.shape
+        # rounding in the subsample/quantize differs by at most 1 LSB
+        diff = np.abs(ours[f].astype(int) - ref.astype(int))
+        assert diff.max() <= 1, diff.max()
+        # host round-trip decodes
+        bgr = cv2.cvtColor(ours[f], cv2.COLOR_YUV2BGR_I420)
+        assert bgr.shape == (16, 24, 3)
