@@ -91,9 +91,9 @@ def group_norm(
     xf = (xf - mean) * (var + eps) ** -0.5
     out = xf.reshape(x.shape).astype(dtype)
     if "scale" in params:
-        out = out * params["scale"]
+        out = out * params["scale"].astype(dtype)
     if "bias" in params:
-        out = out + params["bias"]
+        out = out + params["bias"].astype(dtype)
     return out
 
 

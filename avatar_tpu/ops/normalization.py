@@ -25,7 +25,9 @@ def rms_norm(
     var = jnp.mean(xf * xf, axis=axis, keepdims=True)
     out = (xf * (var + eps) ** -0.5).astype(dtype)
     if weight is not None:
-        out = out * weight
+        # cast the scale: f32 master weights must not promote bf16
+        # activations (doubles every downstream tensor)
+        out = out * weight.astype(dtype)
     return out
 
 
@@ -44,9 +46,9 @@ def layer_norm(
     out = (xf - mean) * (var + eps) ** -0.5
     out = out.astype(dtype)
     if weight is not None:
-        out = out * weight
+        out = out * weight.astype(dtype)
     if bias is not None:
-        out = out + bias
+        out = out + bias.astype(dtype)
     return out
 
 
