@@ -60,7 +60,9 @@ def encode_train_prompt(config, caption_channels: int = 4096):
 
 
 def train_loop(config, resume: bool = True):
-    from avatar_tpu.data.dataset import LatentPairDataset, epoch_batches
+    from avatar_tpu.data.dataset import (
+        LatentPairDataset, epoch_batches, prefetch_batches,
+    )
     from avatar_tpu.models.dit import DiTConfig
     from avatar_tpu.parallel import make_mesh, param_sharding, shard_pytree
     from avatar_tpu.train.checkpoints import (
@@ -173,6 +175,23 @@ def train_loop(config, resume: bool = True):
     best_loss = float("inf")
     key = jax.random.PRNGKey(config.seed + 1)
 
+    # Preemption-safe checkpointing: TPU pods get SIGTERM ahead of
+    # maintenance/preemption; save the full train state and exit cleanly so
+    # the next invocation resumes from the same step (the reference restarts
+    # training from scratch, SURVEY §5 "no optimizer-state checkpointing").
+    import signal
+
+    preempted = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        preempted["flag"] = True
+        print("[train] SIGTERM received — checkpointing at next step boundary")
+
+    try:
+        signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:
+        pass  # not the main thread (e.g. under a test harness)
+
     # batch arrays are [accum, micro_b, ...]: shard micro_b over (data, fsdp)
     n_batch_shards = mesh.shape["data"] * mesh.shape["fsdp"]
     if config.batch_size % n_batch_shards == 0:
@@ -191,15 +210,20 @@ def train_loop(config, resume: bool = True):
     with mesh:
         for epoch in range(start_epoch, config.num_epochs or 0):
             losses = []
-            for batch in epoch_batches(
-                dataset, config.batch_size,
-                config.gradient_accumulation_steps,
-                seed=config.seed, epoch=epoch,
+            def to_device(v):
+                return jax.device_put(jnp.asarray(v), batch_sharding)
+
+            for batch in prefetch_batches(
+                epoch_batches(
+                    dataset, config.batch_size,
+                    config.gradient_accumulation_steps,
+                    seed=config.seed, epoch=epoch,
+                ),
+                device_put=to_device,
             ):
                 key, k_step = jax.random.split(key)
                 arrays = {
-                    k: jax.device_put(jnp.asarray(v), batch_sharding)
-                    for k, v in batch.items() if k != "stem"
+                    k: v for k, v in batch.items() if k != "stem"
                 }
                 trainable, opt_state, metrics = step_fn(
                     trainable, opt_state, dit_params, arrays,
@@ -208,6 +232,17 @@ def train_loop(config, resume: bool = True):
                 global_step += 1
                 loss = float(metrics["loss"])
                 losses.append(loss)
+                if preempted["flag"]:
+                    if checkpointer is not None:
+                        checkpointer.save(
+                            global_step, trainable, opt_state,
+                            extra={"epoch": epoch},
+                        )
+                        checkpointer.manager.wait_until_finished()
+                        print(f"[train] preemption checkpoint at step "
+                              f"{global_step}; exiting")
+                    logger.finish()
+                    return trainable
                 if global_step % config.log_every_n_steps == 0:
                     logger.log(global_step, {
                         "train/loss": loss,

@@ -155,3 +155,46 @@ def epoch_batches(
             else v
             for k, v in stacked.items()
         }
+
+
+def prefetch_batches(
+    batch_iter: Iterator[Dict[str, np.ndarray]],
+    device_put=None,
+    depth: int = 2,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Background-thread prefetch: overlap disk reads / collation (and
+    optionally host->device transfer via ``device_put``) with the train
+    step.  The reference relies on torch DataLoader workers for this
+    (training.py:493-509); here a single daemon thread with a bounded queue
+    covers the latent-file workload (small arrays, IO-bound).
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+    err: List[BaseException] = []
+
+    def worker():
+        try:
+            for batch in batch_iter:
+                if device_put is not None:
+                    batch = {
+                        k: device_put(v) if isinstance(v, np.ndarray) else v
+                        for k, v in batch.items()
+                    }
+                q.put(batch)
+        except BaseException as e:  # propagate into the consumer
+            err.append(e)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            if err:
+                raise err[0]
+            return
+        yield item

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 
@@ -57,8 +58,11 @@ def pixel_norm(x: jnp.ndarray, axis: int = -1, eps: float = 1e-8) -> jnp.ndarray
 
     The reference normalizes over the channel dim (dim=1 in NCFHW); we use
     channels-last layouts, so the default axis is -1.
+
+    Statistics accumulate in f32 (the reduce fuses the upcast), but the
+    normalizing multiply runs in the activation dtype: materializing an f32
+    copy of the full activation cost ~9 ms per 97-frame VAE decode on v5e.
     """
-    dtype = x.dtype
     xf = x.astype(jnp.float32)
     ms = jnp.mean(xf * xf, axis=axis, keepdims=True)
-    return (xf * (ms + eps) ** -0.5).astype(dtype)
+    return x * jax.lax.rsqrt(ms + eps).astype(x.dtype)

@@ -217,3 +217,21 @@ def test_per_timestep_skip_block_list(pipeline):
         dtype=jnp.float32,
     )
     assert not np.allclose(np.asarray(varying), np.asarray(flat), atol=1e-4)
+
+
+def test_yuv420_output(pipeline):
+    """Device-side I420 output: correct plane shape and a valid host
+    round-trip via cv2."""
+    embeds, mask = _prompt()
+    out = pipeline(
+        _params(), jax.random.PRNGKey(0), embeds, mask, dtype=jnp.float32,
+        output_type="yuv420",
+    )
+    assert out.shape == (1, FRAMES, H * 3 // 2, W)
+    assert out.dtype == jnp.uint8
+    try:
+        import cv2
+    except ImportError:
+        return
+    bgr = cv2.cvtColor(np.asarray(out[0, 0]), cv2.COLOR_YUV2BGR_I420)
+    assert bgr.shape == (H, W, 3)

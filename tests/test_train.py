@@ -319,3 +319,27 @@ def test_audio_conditioned_train_step(tmp_path):
     t1, _, m = step(trainable, opt.init(trainable), params, arrays, embeds,
                     mask, jax.random.PRNGKey(2))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_prefetch_batches_matches_direct():
+    """Prefetched iteration yields the same batches in order; exceptions
+    propagate to the consumer."""
+    import numpy as np
+
+    from avatar_tpu.data.dataset import prefetch_batches
+
+    batches = [{"x": np.full((2, 2), i)} for i in range(5)]
+    out = list(prefetch_batches(iter(batches)))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        np.testing.assert_array_equal(b["x"], i)
+
+    def boom():
+        yield {"x": np.zeros(1)}
+        raise RuntimeError("io error")
+
+    it = prefetch_batches(boom())
+    next(it)
+    import pytest as _p
+    with _p.raises(RuntimeError, match="io error"):
+        next(it)
