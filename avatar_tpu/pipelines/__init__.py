@@ -1,3 +1,4 @@
+from avatar_tpu.pipelines.serving import AvatarServer, GenerationRequest
 from avatar_tpu.pipelines.pipeline import (
     ConditioningItem,
     GenerationParams,
@@ -7,6 +8,8 @@ from avatar_tpu.pipelines.pipeline import (
 )
 
 __all__ = [
+    "AvatarServer",
+    "GenerationRequest",
     "ConditioningItem",
     "GenerationParams",
     "LTXVideoPipeline",

@@ -250,8 +250,13 @@ class LTXVideoPipeline:
         media_items: Optional[jnp.ndarray] = None,
         timestep: float = 1.0,
         vae_per_channel_normalize: bool = True,
+        sample_keys: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        """pipeline_ltx_video.py:592-670 (noise, or media noised to t0)."""
+        """pipeline_ltx_video.py:592-670 (noise, or media noised to t0).
+
+        ``sample_keys``: optional [B] explicit per-sample PRNG keys — a
+        serving layer passes per-request keys so a request's initial noise
+        is independent of which batch it landed in."""
         assert latents is None or media_items is None
         if media_items is not None:
             k_enc, key = jax.random.split(key)
@@ -261,7 +266,8 @@ class LTXVideoPipeline:
         # Per-sample noise keys: the same sample index draws the same noise
         # regardless of batch composition (gives the batch-determinism
         # property the reference tests assert, tests/test_inference.py:106-158).
-        sample_keys = jax.random.split(key, latent_shape[0])
+        if sample_keys is None:
+            sample_keys = jax.random.split(key, latent_shape[0])
         noise = jax.vmap(
             lambda k: jax.random.normal(k, latent_shape[1:], dtype=dtype)
         )(sample_keys)
@@ -586,6 +592,7 @@ class LTXVideoPipeline:
         lora: Optional[dict] = None,
         output_type: str = "np",  # "latent" | "np"
         dtype=jnp.bfloat16,
+        sample_keys: Optional[jnp.ndarray] = None,  # [B] per-sample keys
     ):
         p = params
         batch_size = prompt_embeds.shape[0]
@@ -673,6 +680,7 @@ class LTXVideoPipeline:
             media_items=media_items,
             timestep=float(timesteps[0]),
             vae_per_channel_normalize=p.vae_per_channel_normalize,
+            sample_keys=sample_keys,
         )
         tokens, pixel_coords, cond_mask, num_cond_latents = (
             self.prepare_conditioning(

@@ -1,0 +1,195 @@
+"""Serving layer: dynamic-batched, fetch-overlapped avatar generation.
+
+The reference has no serving story (its inference.py is a one-shot CLI).
+For production TPU serving the rules are:
+
+- one compiled pipeline per (H, W, F, steps, guidance-layout) bucket —
+  requests are grouped by bucket so nothing ever recompiles on the hot path;
+- same-bucket requests are coalesced into one batched generation up to
+  ``max_batch`` (weight reads amortize across the batch: the 2B DiT step is
+  MXU-bound, so batching is near-free throughput);
+- device->host transfers overlap the next batch's compute
+  (``copy_to_host_async`` — the same discipline bench.py measures);
+- per-request PRNG keys drive the initial latent noise
+  (pipeline ``sample_keys``), so a request's generation is independent of
+  which batch it was coalesced into (exact for the avatar operating point;
+  decode-time noise, when enabled, still draws from the batch key).
+
+Synchronous JAX dispatch happens only on the worker thread; callers get
+futures.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avatar_tpu.pipelines.pipeline import GenerationParams, LTXVideoPipeline
+
+
+@dataclass
+class GenerationRequest:
+    """One avatar generation: text embeddings + optional avatar media."""
+
+    params: GenerationParams
+    prompt_embeds: np.ndarray  # [1, L, caption_channels]
+    prompt_attention_mask: np.ndarray  # [1, L]
+    ref_image: Optional[np.ndarray] = None  # [1, 1, H, W, 3]
+    pose_frames: Optional[np.ndarray] = None  # [1, F, H, W, 3]
+    seed: int = 0
+    output_type: str = "yuv420"
+
+
+def _bucket_key(req: GenerationRequest) -> Tuple:
+    p = req.params
+    return (
+        p.height, p.width, p.num_frames, p.num_inference_steps,
+        _as_tuple(p.guidance_scale), _as_tuple(p.stg_scale),
+        _as_tuple(p.rescaling_scale), p.cfg_star_rescale,
+        p.skip_layer_strategy, _as_tuple(p.skip_block_list),
+        _as_tuple(p.decode_timestep), p.tone_map_compression_ratio,
+        p.stochastic_sampling, p.image_cond_noise_scale,
+        req.prompt_embeds.shape, req.ref_image is not None,
+        req.pose_frames is not None, req.output_type,
+    )
+
+
+def _as_tuple(v):
+    if isinstance(v, (list, tuple)):
+        return tuple(_as_tuple(x) for x in v)
+    return v
+
+
+class AvatarServer:
+    """Dynamic-batching request server over one :class:`LTXVideoPipeline`.
+
+    Usage::
+
+        server = AvatarServer(pipeline, max_batch=4)
+        fut = server.submit(GenerationRequest(...))
+        video = fut.result()   # numpy frames
+        server.shutdown()
+    """
+
+    def __init__(
+        self,
+        pipeline: LTXVideoPipeline,
+        max_batch: int = 4,
+        batch_window_s: float = 0.02,
+    ):
+        self.pipeline = pipeline
+        self.max_batch = max_batch
+        self.batch_window_s = batch_window_s
+        self._queue: "queue.Queue" = queue.Queue()
+        self._closed = False
+        self._pending_fetch: List[Tuple[List[Future], Any]] = []
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+        self.stats: Dict[str, int] = {"batches": 0, "requests": 0}
+
+    # -- client API -------------------------------------------------------
+
+    def submit(self, request: GenerationRequest) -> Future:
+        if self._closed:
+            raise RuntimeError("server is shut down")
+        fut: Future = Future()
+        self._queue.put((request, fut))
+        return fut
+
+    def shutdown(self, wait: bool = True) -> None:
+        self._closed = True
+        self._queue.put(None)
+        if wait:
+            self._worker.join()
+
+    # -- worker -----------------------------------------------------------
+
+    def _collect_batch(self):
+        """Block for one request, then greedily coalesce same-bucket
+        requests arriving within the batch window."""
+        first = self._queue.get()
+        if first is None:
+            return None
+        key = _bucket_key(first[0])
+        batch = [first]
+        while len(batch) < self.max_batch:
+            try:
+                item = self._queue.get(timeout=self.batch_window_s)
+            except queue.Empty:
+                break
+            if item is None:
+                self._queue.put(None)  # re-signal shutdown
+                break
+            if _bucket_key(item[0]) == key:
+                batch.append(item)
+            else:
+                self._queue.put(item)  # different bucket: next round
+                break
+        return batch
+
+    def _run(self) -> None:
+        while True:
+            batch = self._collect_batch()
+            if batch is None:
+                self._drain_fetches()
+                return
+            try:
+                self._dispatch(batch)
+            except Exception as e:  # noqa: BLE001 — fail the futures
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(e)
+            # keep the newest generation in flight only if more work is
+            # queued (its fetch then overlaps the next batch's compute);
+            # otherwise resolve everything so callers aren't left waiting
+            self._drain_fetches(keep_last=not self._queue.empty())
+
+    def _dispatch(self, batch) -> None:
+        reqs = [r for r, _ in batch]
+        futs = [f for _, f in batch]
+        r0 = reqs[0]
+
+        def stack(getter):
+            parts = [getter(r) for r in reqs]
+            if any(p is None for p in parts):
+                return None
+            return jnp.concatenate([jnp.asarray(p) for p in parts])
+
+        embeds = stack(lambda r: r.prompt_embeds)
+        mask = stack(lambda r: r.prompt_attention_mask)
+        ref = stack(lambda r: r.ref_image)
+        pose = stack(lambda r: r.pose_frames)
+        # per-request keys: the initial noise of each sample depends only on
+        # its own seed, not on batch composition
+        sample_keys = jnp.stack(
+            [jax.random.PRNGKey(r.seed) for r in reqs]
+        )
+        out = self.pipeline(
+            r0.params, jax.random.PRNGKey(r0.seed), embeds, mask,
+            ref_image=ref, pose_frames=pose,
+            output_type=r0.output_type,
+            sample_keys=sample_keys,
+        )
+        if hasattr(out, "copy_to_host_async"):
+            out.copy_to_host_async()
+        self._pending_fetch.append((futs, out))
+        self.stats["batches"] += 1
+        self.stats["requests"] += len(reqs)
+
+    def _drain_fetches(self, keep_last: bool = False) -> None:
+        """Resolve finished generations; with keep_last, leave the most
+        recent in flight so its fetch overlaps the next batch's compute."""
+        limit = 1 if keep_last else 0
+        while len(self._pending_fetch) > limit:
+            futs, out = self._pending_fetch.pop(0)
+            arr = np.asarray(out)
+            for i, fut in enumerate(futs):
+                if not fut.done():
+                    fut.set_result(arr[i])

@@ -1,0 +1,103 @@
+"""AvatarServer: dynamic batching, bucket isolation, per-request
+determinism, error propagation."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from avatar_tpu.diffusion import RectifiedFlowSchedule
+from avatar_tpu.models.dit import DiTConfig, init_dit
+from avatar_tpu.models.vae import demo_config, init_vae
+from avatar_tpu.pipelines import (
+    AvatarServer,
+    GenerationParams,
+    GenerationRequest,
+    LTXVideoPipeline,
+)
+
+H = W = 64
+FRAMES = 9
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    vae_cfg = dataclasses.replace(
+        demo_config(latent_channels=8), base_channels=32,
+        decoder_base_channels=32,
+    )
+    dit_cfg = DiTConfig(
+        num_attention_heads=4, attention_head_dim=8, in_channels=8,
+        out_channels=8, num_layers=2, cross_attention_dim=32,
+        caption_channels=32,
+    )
+    return LTXVideoPipeline(
+        dit_cfg, init_dit(jax.random.PRNGKey(1), dit_cfg),
+        vae_cfg, init_vae(jax.random.PRNGKey(0), vae_cfg),
+        schedule=RectifiedFlowSchedule.create(
+            sampler="Uniform", shifting="SD3", target_shift_terminal=0.1
+        ),
+        attention_impl="xla",
+    )
+
+
+def _request(seed=0, steps=2, output_type="np"):
+    ks = jax.random.split(jax.random.PRNGKey(40 + seed), 2)
+    return GenerationRequest(
+        params=GenerationParams(
+            height=H, width=W, num_frames=FRAMES, frame_rate=25.0,
+            num_inference_steps=steps, guidance_scale=1.0, stg_scale=0.0,
+            rescaling_scale=1.0, decode_timestep=0.0,
+        ),
+        prompt_embeds=np.asarray(jax.random.normal(ks[0], (1, 8, 32))),
+        prompt_attention_mask=np.ones((1, 8)),
+        seed=seed,
+        output_type=output_type,
+    )
+
+
+def test_batching_and_results(pipeline):
+    server = AvatarServer(pipeline, max_batch=4, batch_window_s=0.5)
+    futs = [server.submit(_request(seed=i)) for i in range(3)]
+    vids = [f.result(timeout=600) for f in futs]
+    server.shutdown()
+    for v in vids:
+        assert v.shape == (FRAMES, H, W, 3)
+        assert np.isfinite(v).all()
+    # same-bucket requests coalesced into one pipeline call
+    assert server.stats["requests"] == 3
+    assert server.stats["batches"] == 1
+    # different seeds -> different videos
+    assert not np.allclose(vids[0], vids[1])
+
+
+def test_batch_composition_independence(pipeline):
+    """A request's output is identical whether served alone or batched."""
+    server = AvatarServer(pipeline, max_batch=4, batch_window_s=0.5)
+    futs = [server.submit(_request(seed=s)) for s in (7, 8)]
+    batched = [f.result(timeout=600) for f in futs]
+    server.shutdown()
+
+    solo_server = AvatarServer(pipeline, max_batch=1, batch_window_s=0.0)
+    solo = solo_server.submit(_request(seed=7)).result(timeout=600)
+    solo_server.shutdown()
+    np.testing.assert_allclose(batched[0], solo, atol=1e-5)
+
+
+def test_bucket_isolation_and_errors(pipeline):
+    """Different shapes go to different batches; bad requests fail only
+    their own future."""
+    server = AvatarServer(pipeline, max_batch=4, batch_window_s=0.5)
+    ok = server.submit(_request(seed=1))
+    other = server.submit(_request(seed=2, steps=3))  # different bucket
+    bad_req = _request(seed=3)
+    bad_req.prompt_embeds = np.zeros((1, 8, 999))  # wrong caption dim
+    bad = server.submit(bad_req)
+    assert ok.result(timeout=600).shape == (FRAMES, H, W, 3)
+    assert other.result(timeout=600).shape == (FRAMES, H, W, 3)
+    with pytest.raises(Exception):
+        bad.result(timeout=600)
+    server.shutdown()
+    assert server.stats["batches"] >= 2
