@@ -147,7 +147,10 @@ def _encode_prompts(config: InferenceConfig, pipeline_config: dict):
 
     from avatar_tpu.models.t5 import encode_prompt, load_t5_encoder
 
-    model_path = pipeline_config["text_encoder_model_name_or_path"]
+    model_path = pipeline_config.get(
+        "text_encoder_model_name_or_path",
+        "PixArt-alpha/PixArt-XL-2-1024-MS",
+    )
     t5_cfg, t5_params = load_t5_encoder(model_path)
     tokenizer = T5TokenizerFast.from_pretrained(model_path, subfolder="tokenizer")
     embeds, mask = encode_prompt(t5_params, t5_cfg, tokenizer, config.prompt)
