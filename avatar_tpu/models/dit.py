@@ -641,9 +641,10 @@ def permute_dit_params_for_split_rope(params: dict, cfg: DiTConfig) -> dict:
         out = dict(p)
         if "kernel" in p:
             out["kernel"] = p["kernel"][:, perm]
-        if "kernel_q" in p:
-            out["kernel_q"] = p["kernel_q"][:, perm]
-            out["scale"] = p["scale"][perm]
+        for qk in ("kernel_q", "kernel_q8"):
+            if qk in p:
+                out[qk] = p[qk][:, perm]
+                out["scale"] = p["scale"][perm]
         if "bias" in p:
             out["bias"] = p["bias"][perm]
         return out

@@ -40,15 +40,30 @@ def init_linear(
 
 
 def linear(params: dict, x: jnp.ndarray) -> jnp.ndarray:
-    if "kernel_q" in params:
-        # weight-only int8 (utils/quantize.py): dequant fuses into the
-        # matmul's weight read, halving HBM traffic
-        kernel = params["kernel_q"].astype(x.dtype) * params["scale"].astype(
-            x.dtype
+    if "kernel_q8" in params:
+        # W8A8 (utils/quantize.py): dynamic per-token activation quant +
+        # int8 x int8 dot on the MXU's 2x-rate int8 mode, dequant fused
+        # into the epilogue. Identical quants of a shared input (q/k/v off
+        # one norm) are CSE'd by XLA, so the row-max costs once.
+        xf = x.astype(jnp.float32)
+        x_s = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+        x_s = jnp.maximum(x_s, 1e-30)
+        x_q = jnp.clip(jnp.round(xf / x_s), -127, 127).astype(jnp.int8)
+        acc = jnp.einsum(
+            "...i,io->...o", x_q, params["kernel_q8"],
+            preferred_element_type=jnp.int32,
         )
+        out = (acc.astype(jnp.float32) * x_s * params["scale"]).astype(x.dtype)
     else:
-        kernel = params["kernel"].astype(x.dtype)
-    out = jnp.einsum("...i,io->...o", x, kernel)
+        if "kernel_q" in params:
+            # weight-only int8 (utils/quantize.py): dequant fuses into the
+            # matmul's weight read, halving HBM traffic
+            kernel = params["kernel_q"].astype(x.dtype) * params[
+                "scale"
+            ].astype(x.dtype)
+        else:
+            kernel = params["kernel"].astype(x.dtype)
+        out = jnp.einsum("...i,io->...o", x, kernel)
     if "bias" in params:
         out = out + params["bias"].astype(out.dtype)
     return out

@@ -172,16 +172,20 @@ class LTXVideoPipeline:
         patch_size: int = 1,
         attention_impl: str = "auto",
         allowed_inference_steps: Optional[List[float]] = None,
-        quantize_weights: bool = False,
+        quantize_weights: Union[bool, str] = False,
         rope_split: bool = True,
         sp_mesh=None,
         sp_axis: str = "sp",
     ):
         self.dit_cfg = dit_cfg
         if quantize_weights:
+            # True / "w8": weight-only int8 (memory). "w8a8": int8 MXU
+            # matmuls with dynamic per-token activation quant (speed) —
+            # see utils/quantize.py.
             from avatar_tpu.utils.quantize import quantize_dit_params
 
-            dit_params = quantize_dit_params(dit_params)
+            mode = "w8" if quantize_weights is True else quantize_weights
+            dit_params = quantize_dit_params(dit_params, mode=mode)
         # split-RoPE layout: q/k projection columns permuted once at init so
         # the per-step RoPE is contiguous-slice math (no stride-2 gather,
         # ~1.1 ms/step on v5e at the 97f/256px operating point)

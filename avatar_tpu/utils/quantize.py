@@ -1,22 +1,32 @@
-"""Weight-only int8 quantization: a memory-footprint tool, not a speed tool.
+"""int8 quantization for the DiT inference path.
 
-Measured reality on v5e (round 2, tools/perf_dit.py + /tmp/int8_mm bench):
-- the DiT step's weight matmuls are MXU-COMPUTE-bound (173-182 TF/s, ~90%
-  MFU at 832 tokens), not weight-read-bound, so halving weight bytes cannot
-  speed them up;
-- int8 x int8 matmuls run at 84-98 TOP/s through both XLA and Pallas
-  (vs 110-182 TF/s bf16) — the 394-TOPS int8 MXU mode is not reachable from
-  this stack, so W8A8 is not a win either.
+Two modes, both applied at pipeline init only — checkpoints, training, and
+LoRA always use full-precision kernels:
 
-What int8 weights still buy: 2x smaller HBM footprint (the 2B DiT drops
-from ~4 GB to ~2 GB), which matters for multi-model serving or small-HBM
-chips. Quantized linears carry {"kernel_q": int8 [in, out], "scale": [out]}
-and are consumed transparently by ``models.layers.linear`` (XLA hoists the
-loop-invariant dequant, materializing bf16 weights once per run — so
-runtime speed is unchanged, memory is only saved until first use unless
-the denoiser is donated). Mean-rel output error ~1.8% on random 2B weights.
-Applied at pipeline init only — checkpoints, training, and LoRA always use
-full-precision kernels.
+**Weight-only ("w8")** — a memory-footprint tool, not a speed tool. The DiT
+step's weight matmuls are MXU-compute-bound at the serving operating point
+(173-182 TF/s, ~90% MFU at 832 tokens, tools/perf_dit.py), so halving weight
+bytes cannot speed them up; XLA hoists the loop-invariant dequant and
+materializes bf16 weights once per run. What it buys: 2x smaller HBM
+footprint (the 2B DiT drops from ~4 GB to ~2 GB) for multi-model serving.
+Quantized linears carry {"kernel_q": int8 [in, out], "scale": [out]}.
+
+**W8A8 ("w8a8")** — a speed tool: dynamic per-token activation quantization
++ int8 x int8 matmuls on the int8 MXU mode (2x the bf16 rate; measured
+~215 TOP/s vs ~138 TF/s bf16 through plain XLA `dot_general` with
+`preferred_element_type=int32` at DiT shapes on v5e — the round-1 "int8 is
+unreachable" finding was an artifact of accumulating in the benchmark loop).
+Quantized linears carry {"kernel_q8": int8 [in, out], "scale": [out]} and
+``models.layers.linear`` quantizes the activation row-wise on the fly.
+Only the per-token block matmuls (attn projections, FF) are converted;
+boundary layers (patchify, proj_out, adaln, caption projection, timestep
+embedder) stay full precision — they are a rounding error in FLOPs and
+matter most for output fidelity. Mean-rel output error per matmul ~1%;
+see tests/test_extras.py::test_w8a8_quantization for the end-to-end DiT
+tolerance.
+
+No reference equivalent (the reference runs pure bf16/fp32 torch,
+inference.py:*); this is a TPU-native capability.
 """
 
 from __future__ import annotations
@@ -24,13 +34,19 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def quantize_linear(params: dict) -> dict:
-    """{"kernel": [in,out], bias?} -> {"kernel_q", "scale", bias?}."""
+def quantize_linear(params: dict, act: bool = False) -> dict:
+    """{"kernel": [in,out], bias?} -> int8-kernel params.
+
+    act=False: {"kernel_q", "scale", bias?}   (weight-only; dequant at use)
+    act=True:  {"kernel_q8", "scale", bias?}  (W8A8; activations quantized
+               per-token at matmul time, int8 MXU dot)
+    """
     w = params["kernel"].astype(jnp.float32)
     scale = jnp.max(jnp.abs(w), axis=0) / 127.0
     scale = jnp.where(scale == 0.0, 1.0, scale)
     w_q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
-    out = {"kernel_q": w_q, "scale": scale.astype(jnp.bfloat16)}
+    key = "kernel_q8" if act else "kernel_q"
+    out = {key: w_q, "scale": scale.astype(jnp.float32 if act else jnp.bfloat16)}
     if "bias" in params:
         out["bias"] = params["bias"]
     return out
@@ -44,21 +60,54 @@ def _is_linear(node) -> bool:
     )
 
 
-def quantize_dit_params(params: dict, min_size: int = 2**18) -> dict:
-    """Quantize every large 2D linear in a DiT params tree (attention
-    projections, FF, caption projection); small tensors (norm scales,
-    tables, patchify/proj boundary layers under min_size) stay bf16."""
+def quantize_dit_params(
+    params: dict, min_size: int = 2**18, mode: str = "w8"
+) -> dict:
+    """Quantize the large 2D linears in a DiT params tree.
 
-    def walk(node):
+    mode="w8": every linear >= min_size goes weight-only int8.
+    mode="w8a8": only the per-token block linears (attn1 q/k/v/out,
+    attn2 q/out, FF in/out) go int8-activation int8-weight; the hoisted
+    cross-attention k/v (computed once per run on the text context) and all
+    boundary layers stay full precision.
+    """
+    if mode not in ("w8", "w8a8"):
+        raise ValueError(f"unknown quantization mode {mode!r}")
+
+    def walk(node, act):
         if _is_linear(node):
             k = node["kernel"]
             if int(k.shape[0]) * int(k.shape[1]) >= min_size:
-                return quantize_linear(node)
+                return quantize_linear(node, act=act)
             return node
         if isinstance(node, dict):
-            return {key: walk(v) for key, v in node.items()}
+            return {key: walk(v, act) for key, v in node.items()}
         if isinstance(node, list):
-            return [walk(v) for v in node]
+            return [walk(v, act) for v in node]
         return node
 
-    return walk(params)
+    if mode == "w8":
+        return walk(params, act=False)
+
+    W8A8_BLOCK_LINEARS = {
+        ("attn1", "to_q"), ("attn1", "to_k"), ("attn1", "to_v"),
+        ("attn1", "to_out"),
+        ("attn2", "to_q"), ("attn2", "to_out"),
+        ("ff", "proj_in"), ("ff", "proj_out"),
+    }
+    out = dict(params)
+    new_blocks = []
+    for block in params["blocks"]:
+        nb = {}
+        for mod_name, mod in block.items():
+            if isinstance(mod, dict):
+                nm = dict(mod)
+                for lin_name, lin in mod.items():
+                    if (mod_name, lin_name) in W8A8_BLOCK_LINEARS and _is_linear(lin):
+                        nm[lin_name] = quantize_linear(lin, act=True)
+                nb[mod_name] = nm
+            else:
+                nb[mod_name] = mod
+        new_blocks.append(nb)
+    out["blocks"] = new_blocks
+    return out

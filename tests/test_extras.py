@@ -241,3 +241,65 @@ def test_int8_weight_quantization(rng):
                       jnp.ones((1, 4)), attention_impl="xla")
     rel = float(jnp.abs(out_a - out_b).mean() / (jnp.abs(out_a).mean() + 1e-9))
     assert rel < 0.05, rel
+
+
+def test_w8a8_quantization(rng):
+    """W8A8: int8 MXU matmuls with dynamic per-token activation quant stay
+    close to full precision; only block linears convert; split-RoPE layout
+    permutation composes with quantized kernels."""
+    from avatar_tpu.models.dit import (
+        DiTConfig,
+        dit_apply,
+        init_dit,
+        permute_dit_params_for_split_rope,
+    )
+    from avatar_tpu.ops.rope import get_latent_coords, precompute_freqs_cis, split_freqs
+    from avatar_tpu.utils.quantize import quantize_dit_params, quantize_linear
+    from avatar_tpu.models.layers import linear
+
+    p = {"kernel": jnp.asarray(rng.standard_normal((64, 128)).astype(np.float32)),
+         "bias": jnp.asarray(rng.standard_normal(128).astype(np.float32))}
+    q = quantize_linear(p, act=True)
+    assert q["kernel_q8"].dtype == jnp.int8 and "kernel" not in q
+    x = jnp.asarray(rng.standard_normal((4, 64)).astype(np.float32))
+    a, b = linear(p, x), linear(q, x)
+    rel = float(jnp.abs(a - b).mean() / (jnp.abs(a).mean() + 1e-9))
+    assert rel < 0.03, rel
+    # zero activation row must not produce NaN
+    z = linear(q, jnp.zeros((2, 64)))
+    assert bool(jnp.all(jnp.isfinite(z)))
+
+    cfg = DiTConfig(num_attention_heads=2, attention_head_dim=8, in_channels=8,
+                    out_channels=8, num_layers=2, cross_attention_dim=16,
+                    caption_channels=24)
+    params = init_dit(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_dit_params(params, mode="w8a8")
+    b0 = qparams["blocks"][0]
+    assert "kernel_q8" in b0["attn1"]["to_q"]
+    assert "kernel_q8" in b0["ff"]["proj_in"]
+    # hoisted cross-attn k/v and boundary layers stay full precision
+    assert "kernel" in b0["attn2"]["to_k"]
+    assert "kernel" in qparams["patchify_proj"]
+    assert "kernel" in qparams["caption_projection"]["linear_1"]
+
+    tokens = jax.random.normal(jax.random.PRNGKey(1), (1, 12, 8))
+    grid = get_latent_coords(3, 2, 2, 1)
+    text = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 24))
+    out_a = dit_apply(params, cfg, tokens, grid, jnp.asarray([0.5]), text,
+                      jnp.ones((1, 4)), attention_impl="xla")
+    out_b = dit_apply(qparams, cfg, tokens, grid, jnp.asarray([0.5]), text,
+                      jnp.ones((1, 4)), attention_impl="xla")
+    rel = float(jnp.abs(out_a - out_b).mean() / (jnp.abs(out_a).mean() + 1e-9))
+    assert rel < 0.06, rel
+
+    # split-RoPE permutation on quantized params == quantized permuted path
+    qperm = permute_dit_params_for_split_rope(qparams, cfg)
+    assert qperm["blocks"][0]["attn1"]["to_q"]["kernel_q8"].dtype == jnp.int8
+    freqs = precompute_freqs_cis(
+        grid, dim=cfg.inner_dim, theta=cfg.positional_embedding_theta,
+        max_pos=cfg.positional_embedding_max_pos,
+    )
+    out_c = dit_apply(qperm, cfg, tokens, grid, jnp.asarray([0.5]), text,
+                      jnp.ones((1, 4)), attention_impl="xla",
+                      freqs_cis=split_freqs(freqs), rope_split=True)
+    assert float(jnp.abs(out_c - out_b).max()) < 1e-3
