@@ -176,6 +176,8 @@ class LTXVideoPipeline:
         rope_split: bool = True,
         sp_mesh=None,
         sp_axis: str = "sp",
+        dp_mesh=None,
+        dp_axis: str = "data",
     ):
         self.dit_cfg = dit_cfg
         if quantize_weights:
@@ -188,8 +190,12 @@ class LTXVideoPipeline:
             dit_params = quantize_dit_params(dit_params, mode=mode)
         # split-RoPE layout: q/k projection columns permuted once at init so
         # the per-step RoPE is contiguous-slice math (no stride-2 gather,
-        # ~1.1 ms/step on v5e at the 97f/256px operating point)
+        # ~1.1 ms/step on v5e at the 97f/256px operating point).
+        # raw_dit_params keeps the UNPERMUTED tree: seeding a second
+        # pipeline from self.dit_params would permute twice and silently
+        # corrupt attention (only the q/k copies cost extra memory).
         self.rope_split = rope_split
+        self.raw_dit_params = dit_params
         if rope_split:
             dit_params = permute_dit_params_for_split_rope(dit_params, dit_cfg)
         self.dit_params = dit_params
@@ -205,6 +211,14 @@ class LTXVideoPipeline:
         # `sp_mesh[sp_axis]` (Ulysses attention; parallel/sequence.py).
         self.sp_mesh = sp_mesh
         self.sp_axis = sp_axis
+        # Data parallelism: shard the batch (sample) axis of every encode /
+        # denoise / decode over `dp_mesh[dp_axis]` — multi-chip throughput
+        # serving with zero per-step collectives (each sample is
+        # independent; XLA just runs B/ndev samples per chip). Params stay
+        # replicated. Batch must be a multiple of the axis size (the
+        # serving layer pads; pipelines assert).
+        self.dp_mesh = dp_mesh
+        self.dp_axis = dp_axis
         self.allowed_inference_steps = allowed_inference_steps
         self.video_scale_factor = vae_cfg.temporal_downscale_factor
         self.vae_scale_factor = vae_cfg.spatial_downscale_factor
@@ -220,6 +234,41 @@ class LTXVideoPipeline:
             functools.partial(self._decode_impl),
             static_argnames=("tone_map", "pcn", "timestep_conditioning"),
         )
+
+    # -- data parallelism --------------------------------------------------
+
+    def _dp_put(self, *arrays):
+        """Commit arrays with the batch (axis 0) sharded over the dp mesh.
+
+        Arrays whose leading dim isn't a multiple of the axis size (e.g.
+        schedule vectors) are left untouched — they ride along replicated.
+        Returns the arrays in order (singletons unwrapped by the caller).
+        """
+        if self.dp_mesh is None:
+            return arrays if len(arrays) > 1 else arrays[0]
+        ndev = self.dp_mesh.shape[self.dp_axis]
+        outs = []
+        for a in arrays:
+            if (
+                a is not None
+                and hasattr(a, "ndim")
+                and a.ndim > 0
+                and a.shape[0] % ndev == 0
+            ):
+                spec = [None] * a.ndim
+                spec[0] = self.dp_axis
+                outs.append(
+                    jax.device_put(
+                        a,
+                        jax.sharding.NamedSharding(
+                            self.dp_mesh,
+                            jax.sharding.PartitionSpec(*spec),
+                        ),
+                    )
+                )
+            else:
+                outs.append(a)
+        return tuple(outs) if len(outs) > 1 else outs[0]
 
     # -- VAE helpers -----------------------------------------------------
 
@@ -600,6 +649,25 @@ class LTXVideoPipeline:
     ):
         p = params
         batch_size = prompt_embeds.shape[0]
+        if self.dp_mesh is not None:
+            ndev = self.dp_mesh.shape[self.dp_axis]
+            assert batch_size % ndev == 0, (
+                f"dp_mesh: batch {batch_size} must be a multiple of the "
+                f"'{self.dp_axis}' axis size {ndev} (the serving layer pads)"
+            )
+            # shard every per-sample input up front so the VAE encodes, the
+            # denoising loop, and the decode all run data-parallel
+            (
+                prompt_embeds, prompt_attention_mask,
+                negative_prompt_embeds, negative_prompt_attention_mask,
+                latents, media_items, ref_image, pose_frames,
+                ref_latents, pose_latents, sample_keys,
+            ) = self._dp_put(
+                prompt_embeds, prompt_attention_mask,
+                negative_prompt_embeds, negative_prompt_attention_mask,
+                latents, media_items, ref_image, pose_frames,
+                ref_latents, pose_latents, sample_keys,
+            )
         video_scale = self.video_scale_factor if p.is_video else 1
 
         latent_height = p.height // self.vae_scale_factor
@@ -741,6 +809,17 @@ class LTXVideoPipeline:
             p.skip_layer_strategy, self.attention_impl,
         )
         denoiser = self._get_denoiser(statics)
+        if self.dp_mesh is not None:
+            # pin the derived per-sample arrays (initial noise is generated
+            # unsharded; concatenated cond batches follow B*num_conds) so
+            # the one-compile loop runs fully data-parallel
+            tokens, fractional_b, prompt_embeds_b, prompt_mask_b = (
+                self._dp_put(tokens, fractional_b, prompt_embeds_b,
+                             prompt_mask_b)
+            )
+            cond_mask, ref_lat, pose_lat = self._dp_put(
+                cond_mask, ref_lat, pose_lat
+            )
         sigmas = jnp.asarray(timesteps, dtype=jnp.float32)
         final_tokens = denoiser(
             self.dit_params, lora, tokens, tokens, fractional_b,

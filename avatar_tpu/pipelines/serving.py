@@ -156,10 +156,21 @@ class AvatarServer:
         futs = [f for _, f in batch]
         r0 = reqs[0]
 
+        # data-parallel pipelines need the batch to be a multiple of the
+        # mesh axis: pad by repeating the last request and drop its outputs
+        # (per-request determinism holds — each sample's noise comes from
+        # its own key, independent of batch composition)
+        n_real = len(reqs)
+        n_pad = 0
+        if getattr(self.pipeline, "dp_mesh", None) is not None:
+            ndev = self.pipeline.dp_mesh.shape[self.pipeline.dp_axis]
+            n_pad = (-n_real) % ndev
+
         def stack(getter):
             parts = [getter(r) for r in reqs]
             if any(p is None for p in parts):
                 return None
+            parts = parts + [parts[-1]] * n_pad
             return jnp.concatenate([jnp.asarray(p) for p in parts])
 
         embeds = stack(lambda r: r.prompt_embeds)
@@ -170,6 +181,7 @@ class AvatarServer:
         # its own seed, not on batch composition
         sample_keys = jnp.stack(
             [jax.random.PRNGKey(r.seed) for r in reqs]
+            + [jax.random.PRNGKey(reqs[-1].seed)] * n_pad
         )
         out = self.pipeline(
             r0.params, jax.random.PRNGKey(r0.seed), embeds, mask,

@@ -41,6 +41,9 @@ NUM_VIDEOS = 4
 
 
 def build_pipeline():
+    """Returns (pipeline, raw_components). The pipeline permutes dit params
+    into the split-RoPE layout at init, so building a second pipeline (the
+    W8A8 row) must start from the raw components, not pipe.dit_params."""
     vae_cfg = VAEConfig.from_dict({**LTX_VAE_CONFIG, "timestep_conditioning": True})
     dit_cfg = DiTConfig()
 
@@ -49,7 +52,8 @@ def build_pipeline():
 
     vae_params = bf16(init_vae(jax.random.PRNGKey(0), vae_cfg))
     dit_params = bf16(init_dit(jax.random.PRNGKey(1), dit_cfg))
-    return LTXVideoPipeline(dit_cfg, dit_params, vae_cfg, vae_params)
+    pipe = LTXVideoPipeline(dit_cfg, dit_params, vae_cfg, vae_params)
+    return pipe, (dit_cfg, dit_params, vae_cfg, vae_params)
 
 
 def make_inputs(batch, h, w, num_frames):
@@ -151,7 +155,7 @@ def dit_step_stats(pipe, params, inputs, num_frames):
 
 
 def main():
-    pipe = build_pipeline()
+    pipe, raw = build_pipeline()
     h = w = 256
     num_frames = 97
 
@@ -189,6 +193,22 @@ def main():
             details["batch_scaling"][f"batch{batch}"] = round(fps_b, 2)
         except Exception as e:  # OOM guard on small chips
             details["batch_scaling"][f"batch{batch}"] = f"failed: {e}"[:80]
+
+    # W8A8 int8 serving row (opt-in pipeline mode; headline stays bf16 —
+    # int8 output quality vs the real 2B weights is not verifiable in this
+    # environment, so the speed is reported as a detail, not the metric)
+    try:
+        pipe_q = LTXVideoPipeline(*raw, quantize_weights="w8a8")
+        fps_q = throughput(pipe_q, params, inputs1, 1, num_frames)
+        step_q, _, mfu_q = dit_step_stats(pipe_q, params, inputs1, num_frames)
+        details["w8a8"] = {
+            "fps": round(fps_q, 2),
+            "dit_step_ms": round(step_q * 1e3, 2),
+            "dit_mfu_vs_v5e_bf16_peak": round(mfu_q, 3),
+        }
+        del pipe_q
+    except Exception as e:
+        details["w8a8"] = f"failed: {e}"[:80]
 
     print(
         json.dumps(

@@ -101,3 +101,38 @@ def test_bucket_isolation_and_errors(pipeline):
         bad.result(timeout=600)
     server.shutdown()
     assert server.stats["batches"] >= 2
+
+
+def test_dp_mesh_serving(pipeline):
+    """A dp_mesh pipeline serves correctly: batches are padded to the mesh
+    axis size, outputs match the single-device pipeline per request."""
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("data",))
+    # re-init raw params: pipeline.dit_params are already split-RoPE
+    # permuted, so they cannot seed a second pipeline
+    pipe_dp = LTXVideoPipeline(
+        pipeline.dit_cfg, init_dit(jax.random.PRNGKey(1), pipeline.dit_cfg),
+        pipeline.vae_cfg, pipeline.vae_params, schedule=pipeline.schedule,
+        attention_impl="xla", dp_mesh=mesh,
+    )
+    server = AvatarServer(pipe_dp, max_batch=4, batch_window_s=0.1)
+    try:
+        # 3 requests -> padded to 4 on the mesh; results must match the
+        # unsharded server per request (per-sample keyed noise)
+        futs = [server.submit(_request(seed=s)) for s in (0, 1, 2)]
+        outs = [f.result(timeout=300) for f in futs]
+    finally:
+        server.shutdown()
+
+    base_server = AvatarServer(pipeline, max_batch=1)
+    try:
+        base = [
+            base_server.submit(_request(seed=s)).result(timeout=300)
+            for s in (0, 1, 2)
+        ]
+    finally:
+        base_server.shutdown()
+    for o, b in zip(outs, base):
+        assert o.shape == b.shape
+        np.testing.assert_allclose(o, b, atol=2e-3)
