@@ -74,6 +74,7 @@ def create_ltx_video_pipeline(
     sampler: Optional[str] = None,
     attention_impl: str = "auto",
     vae_ckpt_path: Optional[str] = None,
+    quantize: Optional[str] = None,
 ):
     """inference.py:194-251: VAE + transformer + RF schedule from one
     single-file safetensors. Fine-tuned exports are transformer-only; the
@@ -123,6 +124,7 @@ def create_ltx_video_pipeline(
     return LTXVideoPipeline(
         dit_cfg, dit_params, vae_cfg, vae_params,
         schedule=schedule, attention_impl=attention_impl,
+        quantize_weights=quantize or False,
     )
 
 
@@ -195,6 +197,9 @@ def infer(config: InferenceConfig):
         precision=pipeline_config.get("precision", "bfloat16"),
         sampler=pipeline_config.get("sampler"),
         vae_ckpt_path=pipeline_config.get("vae_checkpoint_path"),
+        # "w8" (int8 weights, memory) or "w8a8" (int8 MXU matmuls, ~1.4x
+        # step speedup; see utils/quantize.py)
+        quantize=pipeline_config.get("quantization"),
     )
 
     # multi-scale wrapper when configured

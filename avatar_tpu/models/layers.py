@@ -44,13 +44,17 @@ def linear(params: dict, x: jnp.ndarray) -> jnp.ndarray:
         # W8A8 (utils/quantize.py): dynamic per-token activation quant +
         # int8 x int8 dot on the MXU's 2x-rate int8 mode, dequant fused
         # into the epilogue. Identical quants of a shared input (q/k/v off
-        # one norm) are CSE'd by XLA, so the row-max costs once.
+        # one norm) are CSE'd by XLA, so the row-max costs once. Kept on
+        # the plain-XLA path deliberately: the Pallas fused-dequant kernel
+        # (ops/int8_matmul.py) measured SLOWER in the full pipeline
+        # (14.7 vs 13.3 ms/step) — see that module's docstring.
+        w_q = params["kernel_q8"]
         xf = x.astype(jnp.float32)
         x_s = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
         x_s = jnp.maximum(x_s, 1e-30)
         x_q = jnp.clip(jnp.round(xf / x_s), -127, 127).astype(jnp.int8)
         acc = jnp.einsum(
-            "...i,io->...o", x_q, params["kernel_q8"],
+            "...i,io->...o", x_q, w_q,
             preferred_element_type=jnp.int32,
         )
         out = (acc.astype(jnp.float32) * x_s * params["scale"]).astype(x.dtype)

@@ -1,0 +1,121 @@
+"""Pallas W8A8 matmul: int8 x int8 on the MXU with the dequant epilogue
+fused in-register.
+
+Status: NOT used by ``models.layers.linear`` — measured reality on v5e
+(round 2): in an isolated matmul-chain A/B this kernel beats XLA's
+int8 dot + separate dequant fusion at every DiT shape (e.g. 215 vs 271 us
+at K=2048, N=8192, bit-exact), but in the full denoising pipeline it is
+SLOWER (14.7 vs 13.3 ms/step): in real graphs XLA fuses the dequant
+epilogue into downstream consumers (norm reductions, residual adds), so
+the standalone-kernel launch overhead (~6 us x 224 matmuls/step) buys
+nothing. The op profile that motivated it (~87 us/block of unfused `mul`)
+was an artifact of the non-fast-path block scan. XLA's int8 dot runs at
+~332 TOP/s in-graph (84% of the 394-TOPS int8 peak) — there is little
+headroom a hand kernel can recover.
+
+Kept as a tested building block (tests/test_ops.py::test_w8a8_matmul_kernel)
+for cases XLA can't fuse: standalone quantized GEMM serving, or epilogues
+XLA materializes (e.g. int32 accumulators feeding host transfers).
+
+No reference equivalent (the reference is bf16/fp32 torch throughout).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_q_ref, x_s_ref, w_q_ref, w_s_ref, b_ref, out_ref):
+    acc = jnp.dot(
+        x_q_ref[:], w_q_ref[:], preferred_element_type=jnp.int32
+    )
+    out = acc.astype(jnp.float32) * x_s_ref[:] * w_s_ref[:]
+    if b_ref is not None:
+        out = out + b_ref[:]
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def _pick_bm(m: int, k: int) -> int:
+    # int8 sublane tile is 32. Keep the x block around <=2 MB so the
+    # double-buffered (x, w, out) working set stays under the ~16 MB VMEM
+    # scoped limit even at K=8192.
+    cap = max(256, (2 * 2**20) // k)
+    if m <= cap:
+        return m
+    for bm in (1024, 512, 256):
+        if bm <= cap:
+            return bm
+    return 256  # ragged edge handled by pallas block padding
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def w8a8_matmul(
+    x_q: jnp.ndarray,  # [M, K] int8
+    x_s: jnp.ndarray,  # [M, 1] f32 per-row activation scale
+    w_q: jnp.ndarray,  # [K, N] int8
+    w_s: jnp.ndarray,  # [N] f32 per-column weight scale
+    bias: Optional[jnp.ndarray] = None,  # [N]
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    m, k = x_q.shape
+    k2, n = w_q.shape
+    assert k == k2, (x_q.shape, w_q.shape)
+    bm = _pick_bm(m, k)
+    # N tile: keep the (double-buffered) w block around <=1-2 MB
+    bn = min(512 if k <= 4096 else 256, n)
+
+    w_s2 = w_s.reshape(1, n).astype(jnp.float32)
+    b2 = None if bias is None else bias.reshape(1, n).astype(jnp.float32)
+    x_s = x_s.astype(jnp.float32)
+
+    grid = (pl.cdiv(m, bm), pl.cdiv(n, bn))
+    in_specs = [
+        pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+    ]
+    args = [x_q, x_s, w_q, w_s2]
+    if b2 is not None:
+        in_specs.append(
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+        )
+        args.append(b2)
+        kern = _kernel
+    else:
+        def kern(x_q_ref, x_s_ref, w_q_ref, w_s_ref, out_ref):
+            _kernel(x_q_ref, x_s_ref, w_q_ref, w_s_ref, None, out_ref)
+
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k + k * n + m * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def quantize_rows(x: jnp.ndarray):
+    """Per-row (per-token) dynamic int8 quantization. x: [M, K] ->
+    (x_q int8 [M, K], x_s f32 [M, 1]). The reduce/round/cast trio is cheap
+    (~20 us/block at DiT shapes) and fuses with the producer in XLA."""
+    xf = x.astype(jnp.float32)
+    x_s = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    x_s = jnp.maximum(x_s, 1e-30)
+    x_q = jnp.clip(jnp.round(xf / x_s), -127, 127).astype(jnp.int8)
+    return x_q, x_s

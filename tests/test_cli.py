@@ -151,6 +151,23 @@ def test_exported_checkpoint_runs_inference(tmp_path, synthetic_ckpt):
     assert out.shape == (1, 9, 64, 64, 3)
     assert np.isfinite(np.asarray(out)).all()
 
+    # quantization plumb-through: the yaml "quantization: w8a8" knob
+    pipe_q = create_ltx_video_pipeline(
+        str(ckpt_path), precision="float32", sampler="from_checkpoint",
+        attention_impl="xla", quantize="w8a8",
+    )
+    assert "kernel_q8" in pipe_q.dit_params["blocks"][0]["ff"]["proj_in"]
+    out_q = pipe_q(
+        GenerationParams(
+            height=64, width=64, num_frames=8, num_inference_steps=2,
+            guidance_scale=1.0, stg_scale=0.0, rescaling_scale=1.0,
+            decode_timestep=0.05,
+        ),
+        jax.random.PRNGKey(1), embeds, mask, dtype=jnp.float32,
+    )
+    assert np.isfinite(np.asarray(out_q)).all()
+    assert np.abs(np.asarray(out_q) - np.asarray(out)).mean() < 0.05
+
 
 def test_pipeline_config_yamls_load():
     """Every shipped yaml parses and covers the reference knobs

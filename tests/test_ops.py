@@ -464,3 +464,33 @@ def test_rgb_to_yuv420_matches_cv2():
         # host round-trip decodes
         bgr = cv2.cvtColor(ours[f], cv2.COLOR_YUV2BGR_I420)
         assert bgr.shape == (16, 24, 3)
+
+
+def test_w8a8_matmul_kernel():
+    """Pallas W8A8 matmul (interpret mode) == XLA int8 dot + dequant
+    epilogue, including bias fusion, ragged M, and both K regimes."""
+    import jax
+    import jax.numpy as jnp
+
+    from avatar_tpu.ops.int8_matmul import quantize_rows, w8a8_matmul
+
+    key = jax.random.PRNGKey(0)
+    for m, k, n, use_bias in [(832, 256, 512, True), (100, 512, 256, False),
+                              (64, 1024, 128, True)]:
+        kx, kw, kb = jax.random.split(jax.random.fold_in(key, m * n), 3)
+        x = jax.random.normal(kx, (m, k), jnp.float32)
+        w = jax.random.normal(kw, (k, n), jnp.float32)
+        w_s = jnp.max(jnp.abs(w), axis=0) / 127.0
+        w_q = jnp.round(w / w_s).astype(jnp.int8)
+        bias = jax.random.normal(kb, (n,), jnp.float32) if use_bias else None
+
+        x_q, x_s = quantize_rows(x)
+        got = w8a8_matmul(x_q, x_s, w_q, w_s, bias=bias,
+                          out_dtype=jnp.float32, interpret=True)
+        acc = jax.lax.dot_general(x_q, w_q, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        want = acc.astype(jnp.float32) * x_s * w_s
+        if bias is not None:
+            want = want + bias
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-5)
