@@ -75,6 +75,7 @@ def create_ltx_video_pipeline(
     attention_impl: str = "auto",
     vae_ckpt_path: Optional[str] = None,
     quantize: Optional[str] = None,
+    quantize_vae: Optional[str] = None,
 ):
     """inference.py:194-251: VAE + transformer + RF schedule from one
     single-file safetensors. Fine-tuned exports are transformer-only; the
@@ -125,6 +126,7 @@ def create_ltx_video_pipeline(
         dit_cfg, dit_params, vae_cfg, vae_params,
         schedule=schedule, attention_impl=attention_impl,
         quantize_weights=quantize or False,
+        quantize_vae=quantize_vae or False,
     )
 
 
@@ -200,6 +202,9 @@ def infer(config: InferenceConfig):
         # "w8" (int8 weights, memory) or "w8a8" (int8 MXU matmuls, ~1.4x
         # step speedup; see utils/quantize.py)
         quantize=pipeline_config.get("quantization"),
+        # "w8a8": int8 MXU convs in the VAE encode/decode (~1.6x conv
+        # throughput; small pixel-fidelity cost — opt-in)
+        quantize_vae=pipeline_config.get("quantization_vae"),
     )
 
     # multi-scale wrapper when configured

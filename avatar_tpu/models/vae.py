@@ -40,7 +40,7 @@ from avatar_tpu.models.layers import (
     timestep_embedder,
 )
 from avatar_tpu.ops.attention import scaled_dot_product_attention
-from avatar_tpu.ops.causal_conv3d import causal_conv3d, linear_nd
+from avatar_tpu.ops.causal_conv3d import causal_conv3d, conv3d_params, linear_nd
 from avatar_tpu.ops.normalization import layer_norm, pixel_norm, rms_norm
 from avatar_tpu.ops.pixel_shuffle import (
     patchify_pixels,
@@ -439,8 +439,8 @@ def _apply_resnet(
         h = h * (1 + scale1) + shift1
 
     h = jax.nn.silu(h)
-    h = causal_conv3d(
-        h, params["conv1"]["kernel"], params["conv1"].get("bias"),
+    h = conv3d_params(
+        params["conv1"], h,
         causal=causal, spatial_padding_mode=cfg.spatial_padding_mode,
     )
     if "per_channel_scale1" in params and noise_key is not None:
@@ -451,8 +451,8 @@ def _apply_resnet(
     if "scale_shift_table" in params and timestep_embed is not None:
         h = h * (1 + scale2) + shift2
     h = jax.nn.silu(h)
-    h = causal_conv3d(
-        h, params["conv2"]["kernel"], params["conv2"].get("bias"),
+    h = conv3d_params(
+        params["conv2"], h,
         causal=causal, spatial_padding_mode=cfg.spatial_padding_mode,
     )
     if "per_channel_scale2" in params and noise_key is not None:
@@ -549,8 +549,8 @@ def _apply_space_to_depth_down(
     bb, ff, hh, ww, cc = x_in.shape
     x_in = x_in.reshape(bb, ff, hh, ww, cc // group_size, group_size).mean(-1)
 
-    h = causal_conv3d(
-        x, params["conv"]["kernel"], params["conv"].get("bias"),
+    h = conv3d_params(
+        params["conv"], x,
         causal=causal, spatial_padding_mode=cfg.spatial_padding_mode,
     )
     h = pixel_unshuffle_3d(h, stride)
@@ -573,8 +573,8 @@ def _apply_depth_to_space_up(
         x_in = jnp.tile(x_in, (1, 1, 1, 1, num_repeat))
         if stride[0] == 2:
             x_in = x_in[:, 1:]
-    h = causal_conv3d(
-        x, params["conv"]["kernel"], params["conv"].get("bias"),
+    h = conv3d_params(
+        params["conv"], x,
         causal=causal, spatial_padding_mode=cfg.spatial_padding_mode,
     )
     h = pixel_shuffle_3d(h, stride)
@@ -596,8 +596,8 @@ def encoder_apply(
     sample: [B, F, H, W, 3] -> moments [B, F', H', W', 2*latent_channels].
     """
     x = patchify_pixels(sample, patch_size_hw=cfg.patch_size, patch_size_t=1)
-    x = causal_conv3d(
-        x, params["conv_in"]["kernel"], params["conv_in"].get("bias"),
+    x = conv3d_params(
+        params["conv_in"], x,
         causal=True, spatial_padding_mode=cfg.spatial_padding_mode,
     )
 
@@ -614,9 +614,8 @@ def encoder_apply(
                 "compress_all": (2, 2, 2),
                 "compress_all_x_y": (2, 2, 2),
             }[name]
-            return causal_conv3d(
-                x, block_params["kernel"], block_params.get("bias"),
-                stride=stride, causal=True,
+            return conv3d_params(
+                block_params, x, stride=stride, causal=True,
                 spatial_padding_mode=cfg.spatial_padding_mode,
             )
         if name in ("compress_all_res", "compress_space_res",
@@ -634,8 +633,8 @@ def encoder_apply(
 
     x = _apply_norm(params["conv_norm_out"], x, cfg)
     x = jax.nn.silu(x)
-    x = causal_conv3d(
-        x, params["conv_out"]["kernel"], params["conv_out"].get("bias"),
+    x = conv3d_params(
+        params["conv_out"], x,
         causal=True, spatial_padding_mode=cfg.spatial_padding_mode,
     )
 
@@ -663,8 +662,8 @@ def decoder_apply(
     """
     causal = cfg.causal_decoder
     batch = sample.shape[0]
-    x = causal_conv3d(
-        sample, params["conv_in"]["kernel"], params["conv_in"].get("bias"),
+    x = conv3d_params(
+        params["conv_in"], sample,
         causal=causal, spatial_padding_mode=cfg.spatial_padding_mode,
     )
 
@@ -712,8 +711,8 @@ def decoder_apply(
         x = x * (1 + scale) + shift
 
     x = jax.nn.silu(x)
-    x = causal_conv3d(
-        x, params["conv_out"]["kernel"], params["conv_out"].get("bias"),
+    x = conv3d_params(
+        params["conv_out"], x,
         causal=causal, spatial_padding_mode=cfg.spatial_padding_mode,
     )
     return unpatchify_pixels(x, patch_size_hw=cfg.patch_size, patch_size_t=1)

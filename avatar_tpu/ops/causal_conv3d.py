@@ -40,12 +40,19 @@ def conv3d_same(
     stride: IntOr3 = 1,
     spatial_padding_mode: str = "zeros",
     temporal_padding: Tuple[int, int] = (0, 0),
+    kernel_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """3D conv, NDHWC x DHWIO -> NDHWC, spatial SAME padding.
 
     Args:
       x: [B, F, H, W, C_in].
-      kernel: [kt, kh, kw, C_in, C_out].
+      kernel: [kt, kh, kw, C_in, C_out]. May be int8 (W8A8 path): the
+        activation is dynamically quantized per-tensor, the conv runs on
+        the int8 MXU mode (~1.66x the bf16 conv rate on v5e, measured),
+        and the int32 accumulator is dequantized with
+        ``act_scale * kernel_scale``.
+      kernel_scale: per-output-channel dequant scale [C_out]; required and
+        only used when ``kernel`` is int8.
       temporal_padding: explicit (lo, hi) zero-padding on the frame axis
         (used by the non-causal zero-pad path; the causal replicate pad is
         applied by the caller before this function).
@@ -54,6 +61,20 @@ def conv3d_same(
     st, sh, sw = _triple(stride)
     pad_h = kh // 2
     pad_w = kw // 2
+
+    int8_path = kernel.dtype == jnp.int8
+    act_scale = None
+    out_dtype = x.dtype
+    if int8_path:
+        assert kernel_scale is not None, "int8 kernel requires kernel_scale"
+        # Dynamic per-tensor activation quantization. amax is computed
+        # before padding (replicate/zero pads cannot raise it), so the
+        # pads below operate on 1-byte data.
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        act_scale = jnp.maximum(amax, 1e-8) / 127.0
+        x = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / act_scale), -127, 127
+        ).astype(jnp.int8)
 
     if spatial_padding_mode == "replicate" and (pad_h or pad_w):
         x = jnp.pad(
@@ -70,13 +91,25 @@ def conv3d_same(
     dn = jax.lax.conv_dimension_numbers(
         x.shape, kernel.shape, ("NDHWC", "DHWIO", "NDHWC")
     )
-    out = jax.lax.conv_general_dilated(
-        x,
-        kernel.astype(x.dtype),
-        window_strides=(st, sh, sw),
-        padding=(temporal_padding,) + spatial_pad,
-        dimension_numbers=dn,
-    )
+    if int8_path:
+        acc = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(st, sh, sw),
+            padding=(temporal_padding,) + spatial_pad,
+            dimension_numbers=dn,
+            preferred_element_type=jnp.int32,
+        )
+        scale = (act_scale * kernel_scale.astype(jnp.float32))
+        out = (acc.astype(jnp.float32) * scale).astype(out_dtype)
+    else:
+        out = jax.lax.conv_general_dilated(
+            x,
+            kernel.astype(x.dtype),
+            window_strides=(st, sh, sw),
+            padding=(temporal_padding,) + spatial_pad,
+            dimension_numbers=dn,
+        )
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
@@ -89,10 +122,12 @@ def causal_conv3d(
     stride: IntOr3 = 1,
     causal: bool = True,
     spatial_padding_mode: str = "zeros",
+    kernel_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """CausalConv3d.forward equivalent (causal_conv3d.py:44-59).
 
-    x: [B, F, H, W, C_in] (channels-last).
+    x: [B, F, H, W, C_in] (channels-last). int8 ``kernel`` + ``kernel_scale``
+    selects the W8A8 conv path (see conv3d_same).
     """
     kt = kernel.shape[0]
     if kt > 1:
@@ -106,7 +141,29 @@ def causal_conv3d(
             back = jnp.concatenate([x[:, -1:]] * half, axis=1)
             x = jnp.concatenate([front, x, back], axis=1)
     return conv3d_same(
-        x, kernel, bias, stride=stride, spatial_padding_mode=spatial_padding_mode
+        x, kernel, bias, stride=stride,
+        spatial_padding_mode=spatial_padding_mode, kernel_scale=kernel_scale,
+    )
+
+
+def conv3d_params(
+    params: dict,
+    x: jnp.ndarray,
+    stride: IntOr3 = 1,
+    causal: bool = True,
+    spatial_padding_mode: str = "zeros",
+) -> jnp.ndarray:
+    """causal_conv3d over a params dict: {"kernel", bias?} (full precision)
+    or {"kernel_q8", "scale", bias?} (W8A8 int8; utils/quantize.py)."""
+    if "kernel_q8" in params:
+        return causal_conv3d(
+            x, params["kernel_q8"], params.get("bias"), stride=stride,
+            causal=causal, spatial_padding_mode=spatial_padding_mode,
+            kernel_scale=params["scale"],
+        )
+    return causal_conv3d(
+        x, params["kernel"], params.get("bias"), stride=stride,
+        causal=causal, spatial_padding_mode=spatial_padding_mode,
     )
 
 

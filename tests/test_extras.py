@@ -303,3 +303,63 @@ def test_w8a8_quantization(rng):
                       jnp.ones((1, 4)), attention_impl="xla",
                       freqs_cis=split_freqs(freqs), rope_split=True)
     assert float(jnp.abs(out_c - out_b).max()) < 1e-3
+
+
+def test_w8a8_vae(rng):
+    """W8A8 VAE: int8 MXU convs (dynamic per-tensor act quant, per-out-channel
+    weight scales) stay close to the full-precision encode/decode; only 5-D
+    conv kernels above the size floor convert (norms, linears, statistics
+    untouched). TPU-native capability — the reference VAE is bf16-only
+    (causal_video_autoencoder.py)."""
+    from avatar_tpu.models.vae import VAEConfig, init_vae, vae_decode, vae_encode
+    from avatar_tpu.utils.quantize import quantize_vae_params
+
+    cfg = VAEConfig.from_dict({
+        "latent_channels": 8, "base_channels": 32,
+        "encoder_blocks": [
+            ["res_x", {"num_layers": 1}],
+            ["compress_all", {"multiplier": 2}],
+            ["res_x", {"num_layers": 1}],
+        ],
+        "decoder_blocks": [
+            ["res_x", {"num_layers": 1}],
+            ["compress_all", {"residual": True, "multiplier": 2}],
+            ["res_x", {"num_layers": 1}],
+        ],
+        "norm_layer": "pixel_norm", "patch_size": 2,
+        "latent_log_var": "uniform",
+    })
+    params = init_vae(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_vae_params(params, min_size=2**10)
+
+    n_quant = [0]
+    def walk(t):
+        if isinstance(t, dict):
+            if "kernel_q8" in t:
+                n_quant[0] += 1
+                assert t["kernel_q8"].dtype == jnp.int8
+                assert t["kernel_q8"].ndim == 5
+                assert "kernel" not in t
+            for v in t.values():
+                walk(v)
+        elif isinstance(t, list):
+            for v in t:
+                walk(v)
+    walk(qparams)
+    assert n_quant[0] >= 10, n_quant[0]
+
+    x = jnp.asarray(rng.standard_normal((1, 9, 32, 32, 3)).astype(np.float32))
+    lat = vae_encode(params, cfg, x, key=jax.random.PRNGKey(2),
+                     sample_posterior=False)
+    latq = vae_encode(qparams, cfg, x, key=jax.random.PRNGKey(2),
+                      sample_posterior=False)
+    y = vae_decode(params, cfg, lat)
+    yq = vae_decode(qparams, cfg, lat)
+    rel = lambda a, b: float(  # noqa: E731
+        jnp.mean(jnp.abs(a - b)) / (jnp.mean(jnp.abs(a)) + 1e-8))
+    assert rel(lat, latq) < 0.08, rel(lat, latq)
+    assert rel(y, yq) < 0.08, rel(y, yq)
+    assert bool(jnp.all(jnp.isfinite(yq)))
+    # zero input must not divide by a zero act scale
+    z = vae_decode(qparams, cfg, jnp.zeros_like(lat))
+    assert bool(jnp.all(jnp.isfinite(z)))
