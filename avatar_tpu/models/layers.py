@@ -49,10 +49,17 @@ def linear(params: dict, x: jnp.ndarray) -> jnp.ndarray:
         # (ops/int8_matmul.py) measured SLOWER in the full pipeline
         # (14.7 vs 13.3 ms/step) — see that module's docstring.
         w_q = params["kernel_q8"]
-        xf = x.astype(jnp.float32)
-        x_s = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+        # Row max on x's own dtype: abs-max is a selection, so bf16 loses
+        # nothing that matters for a quant scale, and keeping the f32 cast
+        # single-consumer lets XLA fuse it into the quant pass instead of
+        # materializing a f32 copy of every block input (was ~457 us/step
+        # of convert_element_type at the 832-token operating point).
+        x_s = jnp.max(jnp.abs(x), axis=-1, keepdims=True).astype(
+            jnp.float32) / 127.0
         x_s = jnp.maximum(x_s, 1e-30)
-        x_q = jnp.clip(jnp.round(xf / x_s), -127, 127).astype(jnp.int8)
+        x_q = jnp.clip(
+            jnp.round(x.astype(jnp.float32) * (1.0 / x_s)), -127, 127
+        ).astype(jnp.int8)
         acc = jnp.einsum(
             "...i,io->...o", x_q, w_q,
             preferred_element_type=jnp.int32,

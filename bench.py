@@ -198,13 +198,15 @@ def main():
     # int8 output quality vs the real 2B weights is not verifiable in this
     # environment, so the speed is reported as a detail, not the metric)
     try:
-        pipe_q = LTXVideoPipeline(*raw, quantize_weights="w8a8")
+        pipe_q = LTXVideoPipeline(*raw, quantize_weights="w8a8",
+                                  quantize_vae="w8a8")
         fps_q = throughput(pipe_q, params, inputs1, 1, num_frames)
         step_q, _, mfu_q = dit_step_stats(pipe_q, params, inputs1, num_frames)
         details["w8a8"] = {
             "fps": round(fps_q, 2),
             "dit_step_ms": round(step_q * 1e3, 2),
             "dit_mfu_vs_v5e_bf16_peak": round(mfu_q, 3),
+            "vae_convs": "int8",
         }
         del pipe_q
     except Exception as e:

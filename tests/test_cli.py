@@ -151,12 +151,25 @@ def test_exported_checkpoint_runs_inference(tmp_path, synthetic_ckpt):
     assert out.shape == (1, 9, 64, 64, 3)
     assert np.isfinite(np.asarray(out)).all()
 
-    # quantization plumb-through: the yaml "quantization: w8a8" knob
+    # quantization plumb-through: the yaml "quantization" /
+    # "quantization_vae" knobs
     pipe_q = create_ltx_video_pipeline(
         str(ckpt_path), precision="float32", sampler="from_checkpoint",
-        attention_impl="xla", quantize="w8a8",
+        attention_impl="xla", quantize="w8a8", quantize_vae="w8a8",
     )
     assert "kernel_q8" in pipe_q.dit_params["blocks"][0]["ff"]["proj_in"]
+    q_convs = []
+    def _walk(t):
+        if isinstance(t, dict):
+            if "kernel_q8" in t and getattr(t["kernel_q8"], "ndim", 0) == 5:
+                q_convs.append(t)
+            for v in t.values():
+                _walk(v)
+        elif isinstance(t, list):
+            for v in t:
+                _walk(v)
+    _walk(pipe_q.vae_params)
+    assert q_convs, "quantize_vae did not reach the VAE conv tree"
     out_q = pipe_q(
         GenerationParams(
             height=64, width=64, num_frames=8, num_inference_steps=2,
