@@ -240,7 +240,9 @@ class LTXVideoPipeline:
         )
         self._decode_fn = jax.jit(
             functools.partial(self._decode_impl),
-            static_argnames=("tone_map", "pcn", "timestep_conditioning"),
+            static_argnames=(
+                "tone_map", "pcn", "timestep_conditioning", "output_type",
+            ),
         )
 
     # -- data parallelism --------------------------------------------------
@@ -288,17 +290,33 @@ class LTXVideoPipeline:
     def _decode_impl(
         self, vae_params, latents, decode_timestep, decode_noise_scale, key,
         tone_map: float, pcn: bool, timestep_conditioning: bool,
+        output_type: str = "np",
     ):
         if timestep_conditioning:
             noise = jax.random.normal(key, latents.shape, dtype=latents.dtype)
             scale = decode_noise_scale.reshape(-1, 1, 1, 1, 1).astype(latents.dtype)
             latents = latents * (1 - scale) + noise * scale
         latents = tone_map_latents(latents, tone_map)
-        return vae_decode(
+        images = vae_decode(
             vae_params, self.vae_cfg, latents,
             timestep=decode_timestep if timestep_conditioning else None,
             per_channel_normalize=pcn,
         )
+        # postprocess inside the decode jit: the [-1,1] -> [0,1] map and the
+        # uint8 / I420 output quantization fuse into the decoder's last conv
+        # instead of running as eager full-res passes with per-op dispatch
+        # (VaeImageProcessor.postprocess equivalent, inference.py output path)
+        images = jnp.clip(images * 0.5 + 0.5, 0.0, 1.0)
+        if output_type == "uint8":
+            # device-side quantization: 4x smaller host transfer
+            images = (images * 255.0 + 0.5).astype(jnp.uint8)
+        elif output_type == "yuv420":
+            # device-side I420: 8x smaller transfer than f32 RGB, and the
+            # planar layout video muxers consume directly (ops/color.py)
+            from avatar_tpu.ops.color import rgb_to_yuv420
+
+            images = rgb_to_yuv420(images)
+        return images
 
     # -- Conditioning ----------------------------------------------------
 
@@ -856,7 +874,7 @@ class LTXVideoPipeline:
         elif not isinstance(decode_noise_scale, (list, tuple)):
             decode_noise_scale = [decode_noise_scale] * batch_size
 
-        images = self._decode_fn(
+        return self._decode_fn(
             self.vae_params, latents_out,
             jnp.asarray(decode_timestep, dtype=jnp.float32),
             jnp.asarray(decode_noise_scale, dtype=jnp.float32),
@@ -864,16 +882,5 @@ class LTXVideoPipeline:
             tone_map=float(p.tone_map_compression_ratio),
             pcn=p.vae_per_channel_normalize,
             timestep_conditioning=self.vae_cfg.timestep_conditioning,
+            output_type=output_type,
         )
-        # [-1, 1] -> [0, 1] (VaeImageProcessor.postprocess equivalent)
-        images = jnp.clip(images * 0.5 + 0.5, 0.0, 1.0)
-        if output_type == "uint8":
-            # device-side quantization: 4x smaller host transfer
-            images = (images * 255.0 + 0.5).astype(jnp.uint8)
-        elif output_type == "yuv420":
-            # device-side I420: 8x smaller transfer than f32 RGB, and the
-            # planar layout video muxers consume directly (ops/color.py)
-            from avatar_tpu.ops.color import rgb_to_yuv420
-
-            images = rgb_to_yuv420(images)
-        return images
