@@ -181,6 +181,14 @@ class LTXVideoPipeline:
         dp_axis: str = "data",
     ):
         self.dit_cfg = dit_cfg
+        # On a remote-tunneled device, the init-time param transforms below
+        # (quantization, split-RoPE permute) would each dispatch hundreds of
+        # small eager ops (~2 min of round-trips for the 2B tree); one jit
+        # turns each into a single compiled dispatch. On CPU the eager path
+        # is fine and keeps test startup flat.
+        _one_shot = (
+            jax.jit if jax.default_backend() != "cpu" else (lambda f: f)
+        )
         if quantize_weights:
             # True / "w8": weight-only int8 (memory). "w8a8": int8 MXU
             # matmuls with dynamic per-token activation quant (speed) —
@@ -188,14 +196,16 @@ class LTXVideoPipeline:
             from avatar_tpu.utils.quantize import quantize_dit_params
 
             mode = "w8" if quantize_weights is True else quantize_weights
-            dit_params = quantize_dit_params(dit_params, mode=mode)
+            dit_params = _one_shot(
+                functools.partial(quantize_dit_params, mode=mode)
+            )(dit_params)
         if quantize_vae:
             # int8 MXU convs for VAE encode/decode (~1.6x conv throughput
             # on v5e); opt-in — the final pixels pass through quantized
             # convs, so fidelity-critical runs should leave this off.
             from avatar_tpu.utils.quantize import quantize_vae_params
 
-            vae_params = quantize_vae_params(vae_params)
+            vae_params = _one_shot(quantize_vae_params)(vae_params)
         # split-RoPE layout: q/k projection columns permuted once at init so
         # the per-step RoPE is contiguous-slice math (no stride-2 gather,
         # ~1.1 ms/step on v5e at the 97f/256px operating point).
@@ -205,7 +215,9 @@ class LTXVideoPipeline:
         self.rope_split = rope_split
         self.raw_dit_params = dit_params
         if rope_split:
-            dit_params = permute_dit_params_for_split_rope(dit_params, dit_cfg)
+            dit_params = _one_shot(
+                lambda p: permute_dit_params_for_split_rope(p, dit_cfg)
+            )(dit_params)
         self.dit_params = dit_params
         self.vae_cfg = vae_cfg
         self.vae_params = vae_params
