@@ -494,3 +494,29 @@ def test_w8a8_matmul_kernel():
             want = want + bias
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-6, atol=1e-5)
+
+
+def test_rope_custom_vjp_matches_autodiff():
+    """apply_rotary_emb's orthogonal-rotation backward == plain autodiff of
+    the rotation math for real (pair-repeated) freqs (ops/rope.py)."""
+    from avatar_tpu.ops.rope import (
+        _rot_pairs,
+        apply_rotary_emb,
+        get_latent_coords,
+        precompute_freqs_cis,
+    )
+
+    grid = get_latent_coords(2, 2, 4, 1)
+    cos, sin = precompute_freqs_cis(grid, dim=64)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 64))
+
+    def f_ref(x):
+        return jnp.sum(jnp.sin(x * cos + _rot_pairs(x) * sin) ** 2)
+
+    def f_cv(x):
+        return jnp.sum(jnp.sin(apply_rotary_emb(x, (cos, sin))) ** 2)
+
+    assert float(jnp.max(jnp.abs(f_ref(x) - f_cv(x)))) < 1e-6
+    g_ref = jax.grad(f_ref)(x)
+    g_cv = jax.grad(f_cv)(x)
+    np.testing.assert_allclose(np.asarray(g_cv), np.asarray(g_ref), atol=1e-6)

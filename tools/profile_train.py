@@ -1,0 +1,66 @@
+"""xprof the LoRA train step at the BASELINE operating point on the real chip.
+
+Operating point (BASELINE.md / configs/train-avatars.yaml:17-37): batch 8,
+57-frame clips at 320x192 -> latents [8, 8, 6, 10, 128] = 480 tokens,
+LoRA r=32 on attn2 + caption_projection, bf16 activations, accum 1.
+"""
+import glob, os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax, jax.numpy as jnp, numpy as np
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from avatar_tpu.core.config import TrainConfig
+from avatar_tpu.models.dit import DiTConfig, init_dit
+from avatar_tpu.train.train import (init_trainable, make_optimizer,
+                                    make_train_step)
+
+dit_cfg = DiTConfig()
+cfg = TrainConfig(checkpoint_path="", train_mode="lora_audio",
+                  lora_rank=32, lora_alpha=32, learning_rate=1e-4,
+                  gradient_accumulation_steps=1,
+                  gradient_checkpointing=False)
+params = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                      init_dit(jax.random.PRNGKey(0), dit_cfg))
+trainable = init_trainable(jax.random.PRNGKey(1), params, dit_cfg, cfg)
+opt = make_optimizer(cfg)
+import optax
+opt_state = opt.init(trainable)
+step = make_train_step(dit_cfg, cfg, opt)
+
+b, f, h, w, c = 8, 8, 6, 10, 128
+batch = {
+    "latents": jax.random.normal(jax.random.PRNGKey(2), (1, b, f, h, w, c),
+                                 jnp.bfloat16),
+    "ref_image_latents": jax.random.normal(jax.random.PRNGKey(5),
+                                           (1, b, 1, h, w, c), jnp.bfloat16),
+    "pose_latents": jax.random.normal(jax.random.PRNGKey(6),
+                                      (1, b, f, h, w, c), jnp.bfloat16),
+}
+embeds = jax.random.normal(jax.random.PRNGKey(4), (b, 256, 4096), jnp.bfloat16)
+mask = jnp.ones((b, 256))
+
+def run(seed):
+    global trainable, opt_state
+    trainable, opt_state, metrics = step(
+        trainable, opt_state, params, batch, embeds, mask,
+        jax.random.PRNGKey(seed))
+    return metrics
+
+m = run(0)
+print("metrics:", {k: float(v) for k, v in m.items()})
+ts = []
+for i in range(6):
+    t0 = time.perf_counter()
+    m = run(1 + i)
+    float(jax.tree.leaves(m)[0])
+    ts.append(time.perf_counter() - t0)
+print("step ms:", [f"{t*1e3:.0f}" for t in ts])
+
+logdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/xprof_train"
+os.system(f"rm -rf {logdir}")
+with jax.profiler.trace(logdir):
+    m = run(99)
+    float(jax.tree.leaves(m)[0])
+print("trace ->", logdir)
