@@ -82,6 +82,16 @@ def train_loop(config, resume: bool = True):
     dit_params = import_transformer_state(t_state, dit_cfg)
     if config.precision in ("bfloat16", "bf16"):
         dit_params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), dit_params)
+    # Split-RoPE layout for lora_audio training: the permutation touches
+    # only frozen attn1 q/k columns (LoRA targets attn2; caption_projection
+    # untouched), so exported checkpoints stay canonical while the forward
+    # takes the RoPE-fused attention kernel and the backward skips the
+    # interleaved rotation's gather/relayout passes.
+    rope_split = config.train_mode == "lora_audio"
+    if rope_split:
+        from avatar_tpu.models.dit import permute_dit_params_for_split_rope
+
+        dit_params = permute_dit_params_for_split_rope(dit_params, dit_cfg)
 
     # -- mesh + sharding --
     mesh = make_mesh(data=config.mesh_data, fsdp=config.mesh_fsdp)
@@ -108,8 +118,9 @@ def train_loop(config, resume: bool = True):
     step_fn = make_train_step(
         dit_cfg, config, optimizer,
         trainable_sharding=t_shard, opt_state_sharding=o_shard,
+        rope_split=rope_split,
     )
-    val_fn = validate_step_fn(dit_cfg, config)
+    val_fn = validate_step_fn(dit_cfg, config, rope_split=rope_split)
 
     # -- data --
     dataset = LatentPairDataset(

@@ -156,8 +156,17 @@ def velocity_loss(
     train_mode: str,
     attention_impl: str = "auto",
     remat: bool = False,
+    rope_split: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """training.py:94-166 as a pure function over (trainable, batch)."""
+    """training.py:94-166 as a pure function over (trainable, batch).
+
+    ``rope_split``: dit_params are in the split-RoPE column layout
+    (models.dit.permute_dit_params_for_split_rope) — the training forward
+    then takes the RoPE-fused attention kernel path and the backward
+    avoids the interleaved rotation's relayouts. Safe for lora_audio (the
+    permutation touches only frozen attn1 q/k; LoRA targets attn2 and
+    caption_projection is untouched), so the exported checkpoint stays in
+    canonical layout."""
     if train_mode == "lora_audio":
         lora = trainable["lora"]
         params = overlay_params(
@@ -214,7 +223,7 @@ def velocity_loss(
     out = dit_apply(
         params, dit_cfg, cond, coords, t.astype(model_dtype), embeds, mask,
         attention_impl=attention_impl, lora=lora, lora_scale=scale,
-        remat=remat,
+        remat=remat, rope_split=rope_split,
     )
 
     out = out.astype(jnp.float32)
@@ -263,6 +272,7 @@ def make_train_step(
     attention_impl: str = "auto",
     trainable_sharding=None,
     opt_state_sharding=None,
+    rope_split: bool = False,
 ) -> Callable:
     """Build the jitted macro-batch step.
 
@@ -287,7 +297,7 @@ def make_train_step(
                 batch=micro, prompt_embeds=prompt_embeds,
                 prompt_mask=prompt_mask, key=k,
                 train_mode=cfg.train_mode, attention_impl=attention_impl,
-                remat=remat,
+                remat=remat, rope_split=rope_split,
             )
             (loss, metrics), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
@@ -325,7 +335,8 @@ def make_train_step(
 
 
 def validate_step_fn(
-    dit_cfg: DiTConfig, cfg: TrainConfig, attention_impl: str = "auto"
+    dit_cfg: DiTConfig, cfg: TrainConfig, attention_impl: str = "auto",
+    rope_split: bool = False,
 ) -> Callable:
     """validation.py:14-95: same noising/velocity MSE without gradients."""
 
@@ -335,6 +346,7 @@ def validate_step_fn(
             trainable, dit_params, dit_cfg, cfg, batch,
             prompt_embeds, prompt_mask, key,
             train_mode=cfg.train_mode, attention_impl=attention_impl,
+            rope_split=rope_split,
         )
         return metrics
 

@@ -343,3 +343,43 @@ def test_prefetch_batches_matches_direct():
     import pytest as _p
     with _p.raises(RuntimeError, match="io error"):
         next(it)
+
+
+def test_rope_split_train_step_matches_canonical():
+    """lora_audio training on split-RoPE-permuted params (cli/train.py path)
+    produces the same loss/metrics and the same trainable update as the
+    canonical layout: the permutation touches only frozen attn1 q/k, so
+    gradients w.r.t. LoRA (attn2) and caption_projection are invariant."""
+    from avatar_tpu.models.dit import permute_dit_params_for_split_rope
+
+    cfg = _cfg()
+    params = init_dit(jax.random.PRNGKey(0), DIT)
+    params_p = permute_dit_params_for_split_rope(params, DIT)
+    trainable = init_trainable(jax.random.PRNGKey(1), params, DIT, cfg)
+    opt = make_optimizer(cfg)
+    embeds, mask = _prompt()
+    batch = _batch()
+
+    step = make_train_step(DIT, cfg, opt, attention_impl="xla")
+    step_s = make_train_step(DIT, cfg, opt, attention_impl="xla",
+                             rope_split=True)
+    with jax.default_matmul_precision("highest"):
+        t_a, _, m_a = step(
+            jax.tree.map(jnp.copy, trainable), opt.init(trainable), params,
+            batch, embeds, mask, jax.random.PRNGKey(3),
+        )
+        t_b, _, m_b = step_s(
+            jax.tree.map(jnp.copy, trainable), opt.init(trainable), params_p,
+            batch, embeds, mask, jax.random.PRNGKey(3),
+        )
+    assert abs(float(m_a["loss"]) - float(m_b["loss"])) < 1e-4, (
+        float(m_a["loss"]), float(m_b["loss"]))
+    for a, b in zip(jax.tree.leaves(t_a), jax.tree.leaves(t_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+    # validation step agrees too
+    val = validate_step_fn(DIT, cfg, attention_impl="xla", rope_split=True)
+    m_v = val(trainable, params_p,
+              jax.tree.map(lambda x: x[0], batch), embeds, mask,
+              jax.random.PRNGKey(3))
+    assert np.isfinite(float(m_v["loss"]))

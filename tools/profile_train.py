@@ -12,6 +12,11 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from avatar_tpu.core.config import TrainConfig
+import argparse
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--rope-split", action="store_true")
+_ap.add_argument("logdir", nargs="?", default="/tmp/xprof_train")
+_args = _ap.parse_args()
 from avatar_tpu.models.dit import DiTConfig, init_dit
 from avatar_tpu.train.train import (init_trainable, make_optimizer,
                                     make_train_step)
@@ -27,7 +32,10 @@ trainable = init_trainable(jax.random.PRNGKey(1), params, dit_cfg, cfg)
 opt = make_optimizer(cfg)
 import optax
 opt_state = opt.init(trainable)
-step = make_train_step(dit_cfg, cfg, opt)
+if _args.rope_split:
+    from avatar_tpu.models.dit import permute_dit_params_for_split_rope
+    params = permute_dit_params_for_split_rope(params, dit_cfg)
+step = make_train_step(dit_cfg, cfg, opt, rope_split=_args.rope_split)
 
 b, f, h, w, c = 8, 8, 6, 10, 128
 batch = {
@@ -58,7 +66,7 @@ for i in range(6):
     ts.append(time.perf_counter() - t0)
 print("step ms:", [f"{t*1e3:.0f}" for t in ts])
 
-logdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/xprof_train"
+logdir = _args.logdir
 os.system(f"rm -rf {logdir}")
 with jax.profiler.trace(logdir):
     m = run(99)
