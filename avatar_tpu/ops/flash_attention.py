@@ -610,13 +610,10 @@ def _fused_recompute_fn(q_shape, heads, kv_mask, scale):
 
     from avatar_tpu.ops.attention import tpu_backend
 
-    if tpu_backend():
-        qh_shape = (b, heads, lq, hd)
-        class _S:  # shape carrier for supports()
-            def __init__(self, shape):
-                self.ndim, self.shape = len(shape), shape
-        if supports(_S(qh_shape), _S(qh_shape), _S(qh_shape)):
-            return lambda q_, k_, v_: flash_ref(q_, k_, v_, kv_mask)
+    # same profitability rule as supports(): MXU-friendly head dim and a
+    # sequence product worth a kernel launch
+    if tpu_backend() and hd % 8 == 0 and hd <= 512 and lq * lq >= 128 * 128:
+        return lambda q_, k_, v_: flash_ref(q_, k_, v_, kv_mask)
     return lambda q_, k_, v_: _fused_ref(q_, k_, v_, kv_mask, heads, scale)
 
 

@@ -85,9 +85,10 @@ def quantize_vae_params(params: dict, min_size: int = 2**16) -> dict:
             and getattr(node["kernel"], "ndim", 0) == 5
         ):
             k = node["kernel"]
-            import numpy as np
-
-            if int(np.prod(k.shape)) >= min_size:
+            size = 1
+            for dim in k.shape:
+                size *= int(dim)
+            if size >= min_size:
                 return quantize_conv3d(node)
             return node
         if isinstance(node, dict):
