@@ -520,3 +520,38 @@ def test_rope_custom_vjp_matches_autodiff():
     g_ref = jax.grad(f_ref)(x)
     g_cv = jax.grad(f_cv)(x)
     np.testing.assert_allclose(np.asarray(g_cv), np.asarray(g_ref), atol=1e-6)
+
+
+def test_w8a8_conv3d_params_dispatch():
+    """conv3d_params consumes both full-precision and int8 conv dicts; the
+    int8 path (dynamic per-tensor act quant + per-out-channel weight scales,
+    ops/causal_conv3d.py) stays close to the fp conv, including stride,
+    causal replicate pad, and the replicate spatial mode."""
+    from avatar_tpu.ops.causal_conv3d import conv3d_params
+    from avatar_tpu.utils.quantize import quantize_conv3d
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 5, 8, 8, 16)).astype(np.float32))
+    p = {
+        "kernel": jnp.asarray(
+            rng.standard_normal((3, 3, 3, 16, 24)).astype(np.float32) * 0.2),
+        "bias": jnp.asarray(rng.standard_normal(24).astype(np.float32)),
+    }
+    q = quantize_conv3d(p)
+    assert q["kernel_q8"].dtype == jnp.int8 and q["scale"].shape == (24,)
+
+    for kw in (
+        dict(),
+        dict(stride=(2, 2, 2)),
+        dict(causal=False),
+        dict(spatial_padding_mode="replicate"),
+    ):
+        ref = conv3d_params(p, x, **kw)
+        out = conv3d_params(q, x, **kw)
+        assert out.shape == ref.shape
+        rel = float(jnp.mean(jnp.abs(out - ref)) /
+                    (jnp.mean(jnp.abs(ref)) + 1e-8))
+        assert rel < 0.03, (kw, rel)
+    # zero input: finite output (bias only, no 0/0 in the act scale)
+    z = conv3d_params(q, jnp.zeros_like(x))
+    assert bool(jnp.all(jnp.isfinite(z)))
