@@ -382,7 +382,10 @@ def _attention(
         if use_split_rope:
             q, k = split_to_head_major(q), split_to_head_major(k)
         out = scaled_dot_product_attention(
-            split(q), split(k), split(v), mask=kv_mask, impl=attention_impl
+            split(q), split(k), split(v), mask=kv_mask, impl=attention_impl,
+            # rms/layer qk-norm bounds the logits -> max-free flash kernel
+            # at long sequence lengths (ops/flash_attention.py)
+            bounded_logits=cfg.qk_norm is not None,
         )
         out = out.transpose(0, 2, 1, 3).reshape(b, -1, heads * head_dim)
     out = out.astype(q.dtype)

@@ -77,6 +77,7 @@ def scaled_dot_product_attention(
     mask: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
     impl: str = "auto",
+    bounded_logits: bool = False,
 ) -> jnp.ndarray:
     """Multi-head attention over [B, H, L, D] tensors.
 
@@ -86,6 +87,8 @@ def scaled_dot_product_attention(
       impl: 'auto' | 'xla' | 'flash'.  'auto' picks the Pallas kernel on TPU
         when shapes are kernel-friendly, else the XLA path (XLA itself fuses
         this into a reasonable attention on TPU).
+      bounded_logits: caller guarantees |logits| << f32 exp limit (true
+        after qk-norm) — long sequences take the max-free flash kernel.
     """
     bias = None
     if mask is not None:
@@ -103,7 +106,8 @@ def scaled_dot_product_attention(
             from avatar_tpu.ops.flash_attention import flash_attention, supports
 
             if supports(q, k, v) or impl == "flash":
-                return flash_attention(q, k, v, bias=bias, scale=scale)
+                return flash_attention(q, k, v, bias=bias, scale=scale,
+                                       bounded_logits=bounded_logits)
         return xla_attention(q, k, v, bias, scale)
 
     raise ValueError(f"Unknown attention impl: {impl}")

@@ -555,3 +555,77 @@ def test_w8a8_conv3d_params_dispatch():
     # zero input: finite output (bias only, no 0/0 in the act scale)
     z = conv3d_params(q, jnp.zeros_like(x))
     assert bool(jnp.all(jnp.isfinite(z)))
+
+
+class TestBoundedFlash:
+    """Max-free flash kernel for qk-normed (bounded-logit) attention
+    (ops/flash_attention.py:_fwd_kernel_bounded): forward and grads must
+    match the XLA oracle, including kv masks, fully-masked rows, and
+    non-128-multiple lengths (padding)."""
+
+    def _inputs(self, b=1, h=2, lq=384, lk=384, d=32, seed=0):
+        ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+        def rmsn(x):
+            return x / jnp.sqrt(jnp.mean(x**2, -1, keepdims=True) + 1e-6)
+        q = rmsn(jax.random.normal(ks[0], (b, h, lq, d)))
+        k = rmsn(jax.random.normal(ks[1], (b, h, lk, d)))
+        v = jax.random.normal(ks[2], (b, h, lk, d))
+        return q, k, v
+
+    def _xla(self, q, k, v, mask=None):
+        from avatar_tpu.ops.attention import xla_attention
+        bias = None
+        if mask is not None:
+            bias = jnp.where(mask > 0.5, 0.0, -1e30)[:, None, None, :]
+        return xla_attention(q, k, v, bias, q.shape[-1] ** -0.5)
+
+    def test_forward_multiblock(self):
+        from avatar_tpu.ops.flash_attention import flash_attention
+        q, k, v = self._inputs()
+        out = flash_attention(q, k, v, block_q=128, block_kv=128,
+                              bounded_logits=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(self._xla(q, k, v)), atol=2e-5)
+
+    def test_forward_masked_and_padded(self):
+        from avatar_tpu.ops.flash_attention import flash_attention
+        # lengths not multiples of 128 exercise the pad path; one fully
+        # masked row exercises the l == 0 guard
+        q, k, v = self._inputs(lq=200, lk=333, seed=1)
+        mask = (jax.random.uniform(jax.random.PRNGKey(7), (1, 333)) > 0.3)
+        mask = mask.astype(jnp.float32)
+        out = flash_attention(q, k, v, kv_mask=mask, block_q=128,
+                              block_kv=128, bounded_logits=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(self._xla(q, k, v, mask)), atol=2e-5)
+
+        zero_mask = jnp.zeros((1, 333))
+        out0 = flash_attention(q, k, v, kv_mask=zero_mask, block_q=128,
+                               block_kv=128, bounded_logits=True)
+        assert bool(jnp.all(jnp.isfinite(out0)))
+        np.testing.assert_allclose(np.asarray(out0), 0.0, atol=1e-6)
+
+    def test_grads_match_oracle(self):
+        from avatar_tpu.ops.flash_attention import flash_attention
+        q, k, v = self._inputs(lq=256, lk=256, seed=2)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_attention(
+                q, k, v, block_q=128, block_kv=128, bounded_logits=True
+            ) ** 2)
+
+        def loss_xla(q, k, v):
+            return jnp.sum(self._xla(q, k, v) ** 2)
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gf, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5)
+
+    def test_block_picker(self):
+        from avatar_tpu.ops.flash_attention import _pick_block
+        assert _pick_block(5376, 1024) == 896   # divides, no padding waste
+        assert _pick_block(832, 1024) == 896    # pad 832 -> 896, one block
+        assert _pick_block(4096, 1024) == 1024
+        assert _pick_block(100, 1024) == 128
