@@ -60,6 +60,24 @@ def linear(params: dict, x: jnp.ndarray) -> jnp.ndarray:
         x_q = jnp.clip(
             jnp.round(x.astype(jnp.float32) * (1.0 / x_s)), -127, 127
         ).astype(jnp.int8)
+        m = 1
+        for dim in x.shape[:-1]:
+            m *= int(dim)
+        from avatar_tpu.ops.attention import tpu_backend
+
+        if m >= 2048 and tpu_backend():
+            # Long sequences: XLA stops fusing the dequant into the int8
+            # dot and round-trips the int32 accumulators through HBM
+            # (~15 GB/step at 5376 tokens); the Pallas kernel dequantizes
+            # in-register. At short lengths (832-token serving point) XLA's
+            # fusion wins — keep the plain dot there (see ops/int8_matmul).
+            from avatar_tpu.ops.int8_matmul import w8a8_matmul
+
+            out2d = w8a8_matmul(
+                x_q.reshape(m, x.shape[-1]), x_s.reshape(m, 1), w_q,
+                params["scale"], bias=params.get("bias"), out_dtype=x.dtype,
+            )
+            return out2d.reshape(*x.shape[:-1], out2d.shape[-1])
         acc = jnp.einsum(
             "...i,io->...o", x_q, w_q,
             preferred_element_type=jnp.int32,

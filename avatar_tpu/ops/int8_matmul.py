@@ -1,21 +1,17 @@
 """Pallas W8A8 matmul: int8 x int8 on the MXU with the dequant epilogue
 fused in-register.
 
-Status: NOT used by ``models.layers.linear`` — measured reality on v5e
-(round 2): in an isolated matmul-chain A/B this kernel beats XLA's
-int8 dot + separate dequant fusion at every DiT shape (e.g. 215 vs 271 us
-at K=2048, N=8192, bit-exact), but in the full denoising pipeline it is
-SLOWER (14.7 vs 13.3 ms/step): in real graphs XLA fuses the dequant
-epilogue into downstream consumers (norm reductions, residual adds), so
-the standalone-kernel launch overhead (~6 us x 224 matmuls/step) buys
-nothing. The op profile that motivated it (~87 us/block of unfused `mul`)
-was an artifact of the non-fast-path block scan. XLA's int8 dot runs at
-~332 TOP/s in-graph (84% of the 394-TOPS int8 peak) — there is little
-headroom a hand kernel can recover.
+Status: used by ``models.layers.linear`` for LONG token counts only
+(M >= 2048). Measured reality on v5e (round 2): at the 832-token serving
+point XLA fuses the dequant epilogue into downstream consumers and its
+int8 dot runs at ~332 TOP/s in-graph, so this kernel only adds launch
+overhead there (14.7 vs 13.3 ms/step) — the plain XLA path stays. At
+5376 tokens (512px·161f) XLA STOPS fusing and round-trips the int32
+accumulators through HBM (~15 GB/step of convert_element_type); the
+in-register dequant here recovers that traffic.
 
-Kept as a tested building block (tests/test_ops.py::test_w8a8_matmul_kernel)
-for cases XLA can't fuse: standalone quantized GEMM serving, or epilogues
-XLA materializes (e.g. int32 accumulators feeding host transfers).
+Also a tested standalone building block
+(tests/test_ops.py::test_w8a8_matmul_kernel) for quantized GEMM serving.
 
 No reference equivalent (the reference is bf16/fp32 torch throughout).
 """
