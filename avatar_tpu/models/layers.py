@@ -44,10 +44,12 @@ def linear(params: dict, x: jnp.ndarray) -> jnp.ndarray:
         # W8A8 (utils/quantize.py): dynamic per-token activation quant +
         # int8 x int8 dot on the MXU's 2x-rate int8 mode, dequant fused
         # into the epilogue. Identical quants of a shared input (q/k/v off
-        # one norm) are CSE'd by XLA, so the row-max costs once. Kept on
-        # the plain-XLA path deliberately: the Pallas fused-dequant kernel
-        # (ops/int8_matmul.py) measured SLOWER in the full pipeline
-        # (14.7 vs 13.3 ms/step) — see that module's docstring.
+        # one norm) are CSE'd by XLA, so the row-max costs once. Short
+        # sequences keep the plain XLA dot (epilogue fusion wins there);
+        # M >= 2048 tokens route to the Pallas in-register-dequant kernel
+        # (ops/int8_matmul.py) — at those sizes XLA materializes the int32
+        # accumulators in HBM. N-based routing was measured neutral at
+        # 832 tokens (kernel wins the dot, loses the quant fusion).
         w_q = params["kernel_q8"]
         # Row max on x's own dtype: abs-max is a selection, so bf16 loses
         # nothing that matters for a quant scale, and keeping the f32 cast
