@@ -309,7 +309,7 @@ def _attention(
             ):
                 out = rope_fused_attention(
                     q, k, v, freqs_cis[0], freqs_cis[1], heads,
-                    head_dim**-0.5,
+                    head_dim**-0.5, cfg.qk_norm is not None,
                 ).astype(q.dtype)
                 if skip_layer_mask is not None:
                     m = skip_layer_mask.reshape(b, 1, 1)
@@ -376,7 +376,8 @@ def _attention(
         if use_split_rope:
             q, k = split_to_head_major(q), split_to_head_major(k)
         out = fused_token_attention(
-            q, k, v, mask_2d, heads, head_dim**-0.5
+            q, k, v, mask_2d, heads, head_dim**-0.5,
+            cfg.qk_norm is not None,
         )
     else:
         if use_split_rope:

@@ -392,7 +392,8 @@ def _flash_forward(q, k, v, kv_mask, scale, block_q, block_kv,
 
 
 def _token_major_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
-                        scale: float, head_dim: int):
+                        scale: float, head_dim: int,
+                        bounded: bool = False):
     """Token-major short-sequence attention: each grid step covers one batch
     element and a 128-column group of heads (Mosaic requires lane-dim blocks
     divisible by 128, so head_dim-64 heads are processed two at a time);
@@ -411,10 +412,15 @@ def _token_major_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
             qh, kh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # [Lq, Lk] f32
-        if keep is not None:
-            s = s + jnp.where(keep > 0.5, 0.0, NEG_INF)[None, :]
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
+        if bounded:
+            # qk-norm bounds |s| far below the f32 exp limit: skip the
+            # max pass entirely (one fewer [Lq, Lk] reduction per head)
+            p = jnp.exp(jnp.minimum(s, BOUNDED_LOGIT_CLAMP))
+        else:
+            if keep is not None:
+                s = s + jnp.where(keep > 0.5, 0.0, NEG_INF)[None, :]
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
         if keep is not None:
             p = p * jnp.where(keep > 0.5, 1.0, 0.0)[None, :]
         l = jnp.sum(p, axis=-1, keepdims=True)
@@ -428,9 +434,9 @@ def _token_major_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
 
 
 def _token_major_kernel_nomask(q_ref, k_ref, v_ref, o_ref, *, scale,
-                               head_dim):
+                               head_dim, bounded=False):
     _token_major_kernel(q_ref, k_ref, v_ref, None, o_ref, scale=scale,
-                        head_dim=head_dim)
+                        head_dim=head_dim, bounded=bounded)
 
 
 def _heads_per_block(heads: int, head_dim: int, max_width: int = 256):
@@ -464,7 +470,7 @@ def fused_supports(lq: int, lk: int, heads: int, head_dim: int, dtype) -> bool:
     )
 
 
-def _fused_fwd_impl(q, k, v, kv_mask, heads, scale):
+def _fused_fwd_impl(q, k, v, kv_mask, heads, scale, bounded=False):
     b, lq, c = q.shape
     lk = k.shape[1]
     hd = c // heads
@@ -486,10 +492,10 @@ def _fused_fwd_impl(q, k, v, kv_mask, heads, scale):
         )
         args.append(kv_mask.astype(jnp.float32)[:, None, :])
         kernel = functools.partial(_token_major_kernel, scale=scale,
-                                   head_dim=hd)
+                                   head_dim=hd, bounded=bounded)
     else:
         kernel = functools.partial(_token_major_kernel_nomask, scale=scale,
-                                   head_dim=hd)
+                                   head_dim=hd, bounded=bounded)
     return pl.pallas_call(
         kernel,
         interpret=_interpret(),
@@ -504,7 +510,8 @@ def _fused_fwd_impl(q, k, v, kv_mask, heads, scale):
 
 
 def _rope_token_kernel(q1_ref, q2_ref, k1_ref, k2_ref, cos_ref, sin_ref,
-                       v_ref, o_ref, *, scale: float, head_dim: int):
+                       v_ref, o_ref, *, scale: float, head_dim: int,
+                       bounded: bool = False):
     """Token-major attention with RoPE applied in-kernel on the split-half
     layout: q/k arrive as the two contiguous halves straight from the
     (permuted) projections — no rope elementwise pass, no head-major
@@ -527,8 +534,11 @@ def _rope_token_kernel(q1_ref, q2_ref, k1_ref, k2_ref, cos_ref, sin_ref,
             qh, kh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
-        m = jnp.max(sc, axis=-1, keepdims=True)
-        p = jnp.exp(sc - m)
+        if bounded:
+            p = jnp.exp(jnp.minimum(sc, BOUNDED_LOGIT_CLAMP))
+        else:
+            m = jnp.max(sc, axis=-1, keepdims=True)
+            p = jnp.exp(sc - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         vlo = j * head_dim
         pv = jax.lax.dot_general(
@@ -560,7 +570,7 @@ def rope_fused_supports(lq: int, heads: int, head_dim: int, dtype) -> bool:
     )
 
 
-def _rope_fused_impl(q, k, v, cos_s, sin_s, heads, scale):
+def _rope_fused_impl(q, k, v, cos_s, sin_s, heads, scale, bounded=False):
     b, lq, c = q.shape
     hd = c // heads
     hd2 = hd // 2
@@ -573,7 +583,8 @@ def _rope_fused_impl(q, k, v, cos_s, sin_s, heads, scale):
     args = [q[..., :half], q[..., half:], k[..., :half], k[..., half:],
             cos_s, sin_s, v]
     return pl.pallas_call(
-        functools.partial(_rope_token_kernel, scale=scale, head_dim=hd),
+        functools.partial(_rope_token_kernel, scale=scale, head_dim=hd,
+                          bounded=bounded),
         interpret=_interpret(),
         grid=(b, heads // hpb),
         in_specs=[halfspec] * 6 + [fullspec],
@@ -602,22 +613,26 @@ def _rope_fused_ref(q, k, v, cos_s, sin_s, heads, scale):
     return _fused_ref(q, k, v, None, heads, scale)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def rope_fused_attention(q, k, v, cos_s, sin_s, heads, scale):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def rope_fused_attention(q, k, v, cos_s, sin_s, heads, scale,
+                         bounded=False):
     """Self-attention over split-RoPE-layout token-major tensors with the
     rotation fused into the kernel.  q/k: [B, L, C] in global split-half
     channel order; cos_s/sin_s: [B, L, C/2].  Shapes must satisfy
-    :func:`rope_fused_supports`."""
-    return _rope_fused_impl(q, k, v, cos_s, sin_s, heads, scale)
+    :func:`rope_fused_supports`.  ``bounded``: qk-normed logits — skip the
+    softmax max pass (see _fwd_kernel_bounded)."""
+    return _rope_fused_impl(q, k, v, cos_s, sin_s, heads, scale,
+                            bounded=bounded)
 
 
-def _rope_fused_fwd(q, k, v, cos_s, sin_s, heads, scale):
-    return _rope_fused_impl(q, k, v, cos_s, sin_s, heads, scale), (
+def _rope_fused_fwd(q, k, v, cos_s, sin_s, heads, scale, bounded=False):
+    return _rope_fused_impl(q, k, v, cos_s, sin_s, heads, scale,
+                            bounded=bounded), (
         q, k, v, cos_s, sin_s,
     )
 
 
-def _rope_fused_bwd(heads, scale, residuals, g):
+def _rope_fused_bwd(heads, scale, bounded, residuals, g):
     q, k, v, cos_s, sin_s = residuals
     from avatar_tpu.ops.rope import apply_rotary_emb_split
 
@@ -687,22 +702,23 @@ def _fused_recompute_fn(q_shape, heads, kv_mask, scale):
     return lambda q_, k_, v_: _fused_ref(q_, k_, v_, kv_mask, heads, scale)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def fused_token_attention(q, k, v, kv_mask, heads, scale):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_token_attention(q, k, v, kv_mask, heads, scale, bounded=False):
     """Attention over token-major [B, L, heads*head_dim] tensors.
 
     kv_mask: optional [B, Lk] keep mask.  Shapes must satisfy
-    :func:`fused_supports`.  Backward pass recomputes via the XLA path
-    (training at short sequence lengths is cheap; the fused kernel is the
-    inference fast path)."""
-    return _fused_fwd_impl(q, k, v, kv_mask, heads, scale)
+    :func:`fused_supports`.  Backward recomputes via flash/XLA (see
+    _fused_recompute_fn).  ``bounded``: qk-normed logits — skip the
+    softmax max pass."""
+    return _fused_fwd_impl(q, k, v, kv_mask, heads, scale, bounded=bounded)
 
 
-def _fused_fwd(q, k, v, kv_mask, heads, scale):
-    return _fused_fwd_impl(q, k, v, kv_mask, heads, scale), (q, k, v, kv_mask)
+def _fused_fwd(q, k, v, kv_mask, heads, scale, bounded=False):
+    return _fused_fwd_impl(q, k, v, kv_mask, heads, scale,
+                           bounded=bounded), (q, k, v, kv_mask)
 
 
-def _fused_bwd(heads, scale, residuals, g):
+def _fused_bwd(heads, scale, bounded, residuals, g):
     q, k, v, kv_mask = residuals
     recompute = _fused_recompute_fn(q.shape, heads, kv_mask, scale)
     _, vjp = jax.vjp(recompute, q, k, v)
