@@ -51,6 +51,29 @@ def linear(params: dict, x: jnp.ndarray) -> jnp.ndarray:
         # accumulators in HBM. N-based routing was measured neutral at
         # 832 tokens (kernel wins the dot, loses the quant fusion).
         w_q = params["kernel_q8"]
+        m = 1
+        for dim in x.shape[:-1]:
+            m *= int(dim)
+        from avatar_tpu.ops.attention import tpu_backend
+
+        if m >= 2048 and tpu_backend():
+            # Long sequences: XLA stops fusing both the activation-quant
+            # passes and the dequant of the int32 accumulators (~15 GB/step
+            # of HBM round-trips at 5376 tokens) — run a single-pass Pallas
+            # row quant + in-register-dequant int8 matmul instead. At short
+            # lengths (832-token serving point) XLA's fusion wins — keep
+            # the plain dot below (see ops/int8_matmul.py).
+            from avatar_tpu.ops.int8_matmul import (
+                quantize_rows_pallas,
+                w8a8_matmul,
+            )
+
+            x_q2, x_s2 = quantize_rows_pallas(x.reshape(m, x.shape[-1]))
+            out2d = w8a8_matmul(
+                x_q2, x_s2, w_q,
+                params["scale"], bias=params.get("bias"), out_dtype=x.dtype,
+            )
+            return out2d.reshape(*x.shape[:-1], out2d.shape[-1])
         # Row max on x's own dtype: abs-max is a selection, so bf16 loses
         # nothing that matters for a quant scale, and keeping the f32 cast
         # single-consumer lets XLA fuse it into the quant pass instead of
@@ -62,24 +85,6 @@ def linear(params: dict, x: jnp.ndarray) -> jnp.ndarray:
         x_q = jnp.clip(
             jnp.round(x.astype(jnp.float32) * (1.0 / x_s)), -127, 127
         ).astype(jnp.int8)
-        m = 1
-        for dim in x.shape[:-1]:
-            m *= int(dim)
-        from avatar_tpu.ops.attention import tpu_backend
-
-        if m >= 2048 and tpu_backend():
-            # Long sequences: XLA stops fusing the dequant into the int8
-            # dot and round-trips the int32 accumulators through HBM
-            # (~15 GB/step at 5376 tokens); the Pallas kernel dequantizes
-            # in-register. At short lengths (832-token serving point) XLA's
-            # fusion wins — keep the plain dot there (see ops/int8_matmul).
-            from avatar_tpu.ops.int8_matmul import w8a8_matmul
-
-            out2d = w8a8_matmul(
-                x_q.reshape(m, x.shape[-1]), x_s.reshape(m, 1), w_q,
-                params["scale"], bias=params.get("bias"), out_dtype=x.dtype,
-            )
-            return out2d.reshape(*x.shape[:-1], out2d.shape[-1])
         acc = jnp.einsum(
             "...i,io->...o", x_q, w_q,
             preferred_element_type=jnp.int32,

@@ -629,3 +629,21 @@ class TestBoundedFlash:
         assert _pick_block(832, 1024) == 896    # pad 832 -> 896, one block
         assert _pick_block(4096, 1024) == 1024
         assert _pick_block(100, 1024) == 128
+
+
+def test_quantize_rows_pallas_matches_jnp():
+    """Single-pass Pallas row quantization == the jnp reference expression
+    (ops/int8_matmul.py:quantize_rows_pallas), incl. ragged M and zero rows."""
+    from avatar_tpu.ops.int8_matmul import quantize_rows_pallas
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (300, 512), jnp.bfloat16)
+    x = x.at[7].set(0.0)  # zero row: scale floor, all-zero q
+    xq, xs = quantize_rows_pallas(x, interpret=True)
+    xf = x.astype(jnp.float32)
+    s_ref = jnp.maximum(jnp.max(jnp.abs(xf), -1, keepdims=True),
+                        1e-30) / 127.0
+    q_ref = jnp.clip(jnp.round(xf / s_ref), -127, 127).astype(jnp.int8)
+    assert xq.dtype == jnp.int8 and xs.shape == (300, 1)
+    np.testing.assert_array_equal(np.asarray(xq), np.asarray(q_ref))
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(s_ref), rtol=0)
+    assert bool(jnp.all(jnp.isfinite(xs)))
