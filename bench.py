@@ -212,6 +212,41 @@ def main():
     except Exception as e:
         details["w8a8"] = f"failed: {e}"[:80]
 
+    # Long-context config (SURVEY §5 single-chip anchor): 512px 161 frames
+    # = 5376 tokens/step — exercises the blocked bounded-logit flash kernel
+    # and the long-sequence W8A8 Pallas path (tools/perf_512.py measures
+    # both precisions; one w8a8 row here keeps bench runtime in check).
+    try:
+        import gc
+
+        # free the bf16 pipeline's split-RoPE param copies and cached
+        # conditioning before the 512px run — the full-res decode needs
+        # the HBM headroom (a leftover pipeline OOMs it)
+        del pipe
+        gc.collect()
+        params512 = GenerationParams(
+            height=512, width=512, num_frames=160, frame_rate=25.0,
+            num_inference_steps=40, guidance_scale=1.0, stg_scale=0.0,
+            rescaling_scale=1.0, decode_timestep=0.05,
+        )
+        pipe_l = LTXVideoPipeline(*raw, quantize_weights="w8a8",
+                                  quantize_vae="w8a8")
+        inputs512 = (
+            jax.random.normal(jax.random.PRNGKey(2), (1, 256, 4096),
+                              dtype=jnp.bfloat16),
+            jnp.ones((1, 256)),
+            jax.random.normal(jax.random.PRNGKey(3), (1, 1, 512, 512, 3),
+                              dtype=jnp.bfloat16),
+            jax.random.normal(jax.random.PRNGKey(4), (1, 161, 512, 512, 3),
+                              dtype=jnp.bfloat16),
+        )
+        fps_512 = throughput(pipe_l, params512, inputs512, 1, 161,
+                             n_videos=2)
+        details["long_context_512px_161f_w8a8"] = {"fps": round(fps_512, 2)}
+        del pipe_l
+    except Exception as e:
+        details["long_context_512px_161f_w8a8"] = f"failed: {e}"[:80]
+
     print(
         json.dumps(
             {
