@@ -64,7 +64,10 @@ def train_loop(config, resume: bool = True):
         LatentPairDataset, epoch_batches, prefetch_batches,
     )
     from avatar_tpu.models.dit import DiTConfig
-    from avatar_tpu.parallel import make_mesh, param_sharding, shard_pytree
+    from avatar_tpu.parallel import (
+        gather_to_host, global_batch_from_local, is_main_process, make_mesh,
+        param_sharding, shard_pytree_global, sync_processes,
+    )
     from avatar_tpu.train.checkpoints import (
         TrainStateCheckpointer, export_training_checkpoint,
     )
@@ -75,6 +78,15 @@ def train_loop(config, resume: bool = True):
     from avatar_tpu.utils.weight_import import (
         import_transformer_state, load_single_file_checkpoint,
     )
+
+    # -- multi-host context (jax.distributed must already be initialized by
+    # main() / the caller when running as one process of a pod job) --
+    n_proc = jax.process_count()
+    pid = jax.process_index()
+    main_proc = is_main_process()
+    if n_proc > 1 and main_proc:
+        print(f"[train] multi-host: {n_proc} processes, "
+              f"{len(jax.devices())} global devices")
 
     # -- model --
     configs, t_state, _ = load_single_file_checkpoint(config.checkpoint_path)
@@ -96,12 +108,12 @@ def train_loop(config, resume: bool = True):
     # -- mesh + sharding --
     mesh = make_mesh(data=config.mesh_data, fsdp=config.mesh_fsdp)
     p_shard = param_sharding(mesh, dit_params, mode=config.sharding_mode)
-    dit_params = shard_pytree(dit_params, p_shard)
+    dit_params = shard_pytree_global(dit_params, p_shard)
 
     trainable = init_trainable(jax.random.PRNGKey(config.seed), dit_params,
                                dit_cfg, config)
     t_shard = param_sharding(mesh, trainable, mode=config.sharding_mode)
-    trainable = shard_pytree(trainable, t_shard)
+    trainable = shard_pytree_global(trainable, t_shard)
 
     optimizer = make_optimizer(config)
     opt_state = optimizer.init(trainable)
@@ -114,7 +126,7 @@ def train_loop(config, resume: bool = True):
         o_shard = opt_state_sharding(
             mesh, opt_state, t_shard, mode=config.sharding_mode
         )
-        opt_state = jax.tree.map(jax.device_put, opt_state, o_shard)
+        opt_state = shard_pytree_global(opt_state, o_shard)
     step_fn = make_train_step(
         dit_cfg, config, optimizer,
         trainable_sharding=t_shard, opt_state_sharding=o_shard,
@@ -131,8 +143,9 @@ def train_loop(config, resume: bool = True):
         val_dataset = LatentPairDataset(
             config.val_condition_latents_dir, config.val_encoder_latents_dir
         )
-    print(f"[train] {len(dataset)} train clips"
-          + (f", {len(val_dataset)} val clips" if val_dataset else ""))
+    if main_proc:
+        print(f"[train] {len(dataset)} train clips"
+              + (f", {len(val_dataset)} val clips" if val_dataset else ""))
 
     prompt_embeds, prompt_mask = encode_train_prompt(
         config, dit_cfg.caption_channels
@@ -141,10 +154,13 @@ def train_loop(config, resume: bool = True):
     # -- logging / checkpoints --
     n_trainable = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(trainable))
     n_total = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(dit_params))
-    print(f"[params] total={n_total} trainable={n_trainable}")
+    if main_proc:
+        print(f"[params] total={n_total} trainable={n_trainable}")
+    # non-main processes get a no-op logger (rank-0 gating,
+    # training_deepspeed.py:110-129)
     logger = MetricsLogger(
-        output_dir=config.output_dir,
-        wandb_project=config.wandb_project,
+        output_dir=config.output_dir if main_proc else None,
+        wandb_project=config.wandb_project if main_proc else None,
         wandb_run_name=config.wandb_run_name,
         wandb_config={
             "batch_size": config.batch_size,
@@ -171,14 +187,11 @@ def train_loop(config, resume: bool = True):
             # orbax restores onto default devices; re-place on the mesh
             from avatar_tpu.parallel import opt_state_sharding
 
-            trainable = shard_pytree(restored["trainable"], t_shard)
+            trainable = shard_pytree_global(restored["trainable"], t_shard)
             o_shard = opt_state_sharding(
                 mesh, opt_state, t_shard, mode=config.sharding_mode
             )
-            opt_state = jax.tree.map(
-                lambda r, s: jax.device_put(r, s),
-                restored["opt_state"], o_shard,
-            )
+            opt_state = shard_pytree_global(restored["opt_state"], o_shard)
             global_step = step
             start_epoch = int(restored.get("extra", {}).get("epoch", 0))
             print(f"[train] resumed from step {global_step} (epoch {start_epoch})")
@@ -210,6 +223,12 @@ def train_loop(config, resume: bool = True):
             mesh, jax.sharding.PartitionSpec(None, ("data", "fsdp"))
         )
     else:
+        if n_proc > 1:
+            raise ValueError(
+                f"multi-host training requires batch_size "
+                f"({config.batch_size}) divisible by the "
+                f"{n_batch_shards}-device batch axis"
+            )
         print(
             f"[train] batch_size {config.batch_size} not divisible by "
             f"{n_batch_shards} devices — replicating batches (no DP speedup)"
@@ -218,10 +237,36 @@ def train_loop(config, resume: bool = True):
             mesh, jax.sharding.PartitionSpec()
         )
 
+    def drain_metrics(pending, losses, epoch):
+        """Fetch + log the PREVIOUS step's metrics — the fetch then overlaps
+        the current step's device execution instead of stalling the host on
+        every step (round-2 host gap: 344 ms wall vs 294 ms device)."""
+        if pending is None:
+            return
+        gstep, metrics = pending
+        loss = float(metrics["loss"])
+        losses.append(loss)
+        if gstep % config.log_every_n_steps == 0:
+            logger.log(gstep, {
+                "train/loss": loss,
+                "train/rel_mse": float(metrics["rel_mse"]),
+                "train/nrmse": float(metrics["nrmse"]),
+                "train/transformer_mse": float(metrics["transformer_mse"]),
+                "train/epoch": epoch,
+                "train/lr": config.learning_rate,
+            })
+
     with mesh:
         for epoch in range(start_epoch, config.num_epochs or 0):
             losses = []
+            pending = None
+
             def to_device(v):
+                if n_proc > 1:
+                    # v holds only this host's rows: [accum, local_b, ...]
+                    return global_batch_from_local(
+                        batch_sharding, v, config.batch_size, axis=1
+                    )
                 return jax.device_put(jnp.asarray(v), batch_sharding)
 
             for batch in prefetch_batches(
@@ -229,6 +274,7 @@ def train_loop(config, resume: bool = True):
                     dataset, config.batch_size,
                     config.gradient_accumulation_steps,
                     seed=config.seed, epoch=epoch,
+                    process_index=pid, process_count=n_proc,
                 ),
                 device_put=to_device,
             ):
@@ -241,41 +287,52 @@ def train_loop(config, resume: bool = True):
                     prompt_embeds, prompt_mask, k_step,
                 )
                 global_step += 1
-                loss = float(metrics["loss"])
-                losses.append(loss)
+                drain_metrics(pending, losses, epoch)
+                pending = (global_step, metrics)
                 if preempted["flag"]:
+                    drain_metrics(pending, losses, epoch)
                     if checkpointer is not None:
                         checkpointer.save(
                             global_step, trainable, opt_state,
                             extra={"epoch": epoch},
                         )
                         checkpointer.manager.wait_until_finished()
-                        print(f"[train] preemption checkpoint at step "
-                              f"{global_step}; exiting")
+                        if main_proc:
+                            print(f"[train] preemption checkpoint at step "
+                                  f"{global_step}; exiting")
                     logger.finish()
                     return trainable
-                if global_step % config.log_every_n_steps == 0:
-                    logger.log(global_step, {
-                        "train/loss": loss,
-                        "train/rel_mse": float(metrics["rel_mse"]),
-                        "train/nrmse": float(metrics["nrmse"]),
-                        "train/transformer_mse": float(metrics["transformer_mse"]),
-                        "train/epoch": epoch,
-                        "train/lr": config.learning_rate,
-                    })
+            drain_metrics(pending, losses, epoch)
 
             epoch_loss = sum(losses) / len(losses) if losses else 0.0
             logger.log(global_step, {"train/epoch_loss": epoch_loss})
-            print(f"Epoch {epoch + 1} finished. Average loss: {epoch_loss:.6f}")
+            if main_proc:
+                print(f"Epoch {epoch + 1} finished. "
+                      f"Average loss: {epoch_loss:.6f}")
 
             if val_dataset is not None:
+                val_sharding = jax.sharding.NamedSharding(
+                    mesh,
+                    jax.sharding.PartitionSpec(("data", "fsdp"))
+                    if config.batch_size % n_batch_shards == 0
+                    else jax.sharding.PartitionSpec(),
+                )
+
+                def val_to_device(v):
+                    if n_proc > 1:
+                        return global_batch_from_local(
+                            val_sharding, v, config.batch_size, axis=0
+                        )
+                    return jax.device_put(jnp.asarray(v), val_sharding)
+
                 val_losses = []
                 for batch in epoch_batches(
                     val_dataset, config.batch_size, 1,
                     seed=0, epoch=0, shuffle=False,
+                    process_index=pid, process_count=n_proc,
                 ):
                     micro = {
-                        k: jnp.asarray(v[0]) for k, v in batch.items()
+                        k: val_to_device(v[0]) for k, v in batch.items()
                         if k != "stem"
                     }
                     m = val_fn(trainable, dit_params, micro,
@@ -286,19 +343,32 @@ def train_loop(config, resume: bool = True):
                     val_loss = sum(val_losses) / len(val_losses)
                     logger.log(global_step, {"val/loss": val_loss,
                                              "val/epoch": epoch})
-                    print(f"Validation epoch {epoch + 1}, loss: {val_loss:.6f}")
+                    if main_proc:
+                        print(f"Validation epoch {epoch + 1}, "
+                              f"loss: {val_loss:.6f}")
 
             if config.output_dir and (epoch + 1) % config.save_every_n_epochs == 0:
                 is_best = epoch_loss < best_loss
                 best_loss = min(best_loss, epoch_loss)
-                path = export_training_checkpoint(
-                    Path(config.output_dir) / f"model_epoch_{epoch + 1}.safetensors",
-                    dit_params, dit_cfg, trainable, config,
-                    metadata={"epoch": str(epoch + 1),
-                              "global_step": str(global_step)},
-                    is_best=is_best,
-                )
-                print(f"[train] saved {path}")
+                if n_proc > 1:
+                    # collective all-gather of (possibly fsdp-sharded)
+                    # weights to host, then rank-0 writes — the ZeRO-3
+                    # gather-to-rank0 export, TPU style
+                    host_params = gather_to_host(dit_params)
+                    host_trainable = gather_to_host(trainable)
+                else:
+                    host_params, host_trainable = dit_params, trainable
+                if main_proc:
+                    path = export_training_checkpoint(
+                        Path(config.output_dir)
+                        / f"model_epoch_{epoch + 1}.safetensors",
+                        host_params, dit_cfg, host_trainable, config,
+                        metadata={"epoch": str(epoch + 1),
+                                  "global_step": str(global_step)},
+                        is_best=is_best,
+                    )
+                    print(f"[train] saved {path}")
+                sync_processes("export")
                 checkpointer.save(
                     global_step, trainable, opt_state,
                     extra={"epoch": epoch + 1},
@@ -308,7 +378,8 @@ def train_loop(config, resume: bool = True):
         checkpointer.manager.wait_until_finished()
         checkpointer.close()
     logger.finish()
-    print("Training complete!")
+    if main_proc:
+        print("Training complete!")
     return trainable
 
 
@@ -319,7 +390,23 @@ def main():
         "--train_mode", type=str, choices=["full", "lora_audio"], default="full"
     )
     parser.add_argument("--no_resume", action="store_true")
+    # multi-host (TPU pod / CPU cluster) launch flags. On TPU pods these can
+    # all be omitted: jax.distributed.initialize auto-detects from the
+    # environment (parallel.distributed._CLUSTER_ENV_VARS). The reference
+    # needed the DeepSpeed launcher for this (training_deepspeed.py:90-96).
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="coordinator address host:port (process 0)")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     args, _ = parser.parse_known_args()
+
+    from avatar_tpu.parallel import initialize
+
+    initialize(
+        coordinator_address=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
 
     from avatar_tpu.core.config import load_train_config_from_yaml
 

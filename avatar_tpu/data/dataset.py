@@ -135,9 +135,26 @@ def epoch_batches(
     epoch: int = 0,
     shuffle: bool = True,
     drop_remainder: bool = True,
+    process_index: int = 0,
+    process_count: int = 1,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yield macro-batches shaped [accum, micro_b, ...] for the jitted
-    train step. Deterministic per (seed, epoch)."""
+    train step. Deterministic per (seed, epoch).
+
+    Multi-host: every process computes the SAME global shuffle (seed-only
+    RNG) but loads and yields only its own contiguous
+    ``batch_size / process_count`` rows of each micro-batch — the caller
+    assembles the global array via
+    ``parallel.distributed.global_batch_from_local``.  (The reference
+    instead makes every rank iterate the full dataset,
+    `training_deepspeed.py:142`.)
+    """
+    if batch_size % process_count != 0:
+        raise ValueError(
+            f"batch_size {batch_size} not divisible by {process_count} processes"
+        )
+    local_b = batch_size // process_count
+    lo = process_index * local_b
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed + epoch).shuffle(order)
@@ -147,10 +164,15 @@ def epoch_batches(
         idxs = order[start : start + macro]
         if len(idxs) < macro:
             break
-        items = [dataset[int(i)] for i in idxs]
+        # local rows of each micro-batch: [a*batch_size + lo, ... + local_b)
+        local_idxs = np.concatenate(
+            [idxs[a * batch_size + lo : a * batch_size + lo + local_b]
+             for a in range(accum_steps)]
+        )
+        items = [dataset[int(i)] for i in local_idxs]
         stacked = collate_latent_pairs(items)
         yield {
-            k: v.reshape(accum_steps, batch_size, *v.shape[1:])
+            k: v.reshape(accum_steps, local_b, *v.shape[1:])
             if isinstance(v, np.ndarray)
             else v
             for k, v in stacked.items()

@@ -1,3 +1,13 @@
+from avatar_tpu.parallel.distributed import (
+    gather_to_host,
+    global_batch_from_local,
+    initialize,
+    is_main_process,
+    process_local_slice,
+    put_global,
+    shard_pytree_global,
+    sync_processes,
+)
 from avatar_tpu.parallel.mesh import (
     dit_param_sharding,
     make_mesh,
@@ -16,4 +26,12 @@ __all__ = [
     "opt_state_sharding",
     "replicated",
     "shard_pytree",
+    "initialize",
+    "is_main_process",
+    "process_local_slice",
+    "global_batch_from_local",
+    "put_global",
+    "shard_pytree_global",
+    "gather_to_host",
+    "sync_processes",
 ]

@@ -1,0 +1,165 @@
+"""Multi-host execution — the TPU-native replacement for the reference's
+DeepSpeed/NCCL multi-process launcher (`training_deepspeed.py:90-96`,
+`requirements.txt:103` nvidia-nccl, `:186` mpi4py).
+
+On TPU pods there is no launcher: every host runs the same program,
+``jax.distributed.initialize`` connects them through the coordination
+service, ``jax.devices()`` becomes the GLOBAL device list, and XLA moves
+data over ICI/DCN from the sharding annotations alone.  What this module
+adds on top of raw JAX:
+
+- :func:`initialize` — one call that covers both worlds: explicit
+  ``--coordinator/--num_processes/--process_id`` flags (CPU clusters, GPU
+  clusters, tests) and the TPU-pod auto-detect path (no arguments; JAX
+  reads the TPU metadata server / environment).
+- per-host input pipeline: :func:`process_local_slice` +
+  :func:`global_batch_from_local` implement "every host loads only its own
+  rows" (the reference instead iterates the FULL dataset on every rank —
+  `training_deepspeed.py:142` — wasting host IO ×N; we fix that rather
+  than replicate it).
+- :func:`put_global` — device_put that also works when the target sharding
+  spans non-addressable devices (multi-host), via
+  ``jax.make_array_from_callback``.
+- :func:`gather_to_host` — materialize a (possibly cross-host-sharded)
+  pytree as host numpy on every process, for checkpoint export and
+  logging; rank-0 gating helpers mirror the reference's
+  `training_deepspeed.py:110,202,225`.
+
+Tested for real by ``tests/test_distributed.py``: two localhost CPU
+processes (4 virtual devices each) run the FSDP train step over the
+8-device global mesh and the loss must match a single-process run.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Optional, Sequence
+
+import jax
+import numpy as np
+
+# Environment variables whose presence means "we are one process of a
+# multi-host job" even without explicit flags (TPU pods / GKE set these).
+_CLUSTER_ENV_VARS = (
+    "COORDINATOR_ADDRESS",
+    "JAX_COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "TPU_WORKER_HOSTNAMES",
+)
+
+_initialized = False
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    local_device_ids: Optional[Sequence[int]] = None,
+) -> bool:
+    """Join the multi-host job if one is configured; no-op otherwise.
+
+    Returns True iff ``jax.distributed`` was initialized (so
+    ``jax.devices()`` is now the global device list).  Safe to call
+    unconditionally from every CLI: single-process runs skip it.
+
+    MUST run before any other JAX API touches the backend.
+    """
+    global _initialized
+    if _initialized:
+        return True
+    explicit = coordinator_address is not None or num_processes is not None
+    auto = any(os.environ.get(v) for v in _CLUSTER_ENV_VARS)
+    if not explicit and not auto:
+        return False
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    if local_device_ids is not None:
+        kwargs["local_device_ids"] = list(local_device_ids)
+    jax.distributed.initialize(**kwargs)
+    _initialized = True
+    return True
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def is_main_process() -> bool:
+    """Rank-0 gate for logging / wandb / checkpoint export
+    (training_deepspeed.py:110,202,225 semantics)."""
+    return jax.process_index() == 0
+
+
+def process_local_slice(n: int) -> slice:
+    """This process's contiguous row range of a global batch of size n.
+
+    Row p*(n/P) .. (p+1)*(n/P): matches the device order of meshes built
+    from ``jax.devices()`` (sorted process-major), so the local rows land
+    on local devices with zero resharding traffic.
+    """
+    p, np_ = jax.process_index(), jax.process_count()
+    if n % np_ != 0:
+        raise ValueError(f"global batch {n} not divisible by {np_} processes")
+    per = n // np_
+    return slice(p * per, (p + 1) * per)
+
+
+def global_batch_from_local(sharding, local_data, global_batch: int, axis: int = 0):
+    """Assemble a global jax.Array from this process's rows.
+
+    ``local_data``: numpy array holding only this host's
+    :func:`process_local_slice` of the batch axis.  Thin wrapper over
+    ``jax.make_array_from_process_local_data`` that computes the global
+    shape.
+    """
+    local_data = np.asarray(local_data)
+    global_shape = list(local_data.shape)
+    global_shape[axis] = global_batch
+    return jax.make_array_from_process_local_data(
+        sharding, local_data, global_shape=tuple(global_shape)
+    )
+
+
+def put_global(x, sharding):
+    """device_put that also handles multi-host (non-fully-addressable)
+    shardings: every process supplies the full host value and keeps only
+    its addressable shards."""
+    if getattr(sharding, "is_fully_addressable", True):
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
+def shard_pytree_global(tree, shardings):
+    """Multi-host-safe version of parallel.mesh.shard_pytree."""
+    return jax.tree.map(lambda x, s: put_global(x, s), tree, shardings)
+
+
+def gather_to_host(tree):
+    """Materialize a pytree of jax.Arrays as host numpy on EVERY process,
+    all-gathering shards that live on other hosts (needed before
+    safetensors export of fsdp-sharded trainables)."""
+    if jax.process_count() == 1:
+        return jax.tree.map(np.asarray, tree)
+    from jax.experimental import multihost_utils
+
+    return jax.tree.map(np.asarray, multihost_utils.process_allgather(tree))
+
+
+def sync_processes(name: str = "barrier") -> None:
+    """Cross-host barrier (e.g. before rank-0 reads files other ranks
+    write). No-op single-process."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)

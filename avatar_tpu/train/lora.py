@@ -10,6 +10,7 @@ checkpoints are plain single-file safetensors.
 
 from __future__ import annotations
 
+import zlib
 from typing import Sequence
 
 import jax
@@ -41,7 +42,12 @@ def init_lora(
         block = {}
         for name in targets:
             d_in, d_out = dims[name]
-            k = jax.random.fold_in(jax.random.fold_in(key, i), hash(name) % 2**31)
+            # crc32, NOT hash(): Python string hashing is randomized per
+            # process (PYTHONHASHSEED), which would give every host of a
+            # multi-host job different LoRA init — silent divergence.
+            k = jax.random.fold_in(
+                jax.random.fold_in(key, i), zlib.crc32(name.encode()) % 2**31
+            )
             bound = (3.0 / d_in) ** 0.5  # kaiming_uniform(a=sqrt(5)) on [in, r]
             block[name] = {
                 "a": jax.random.uniform(k, (d_in, rank), dtype, -bound, bound),
