@@ -63,6 +63,55 @@ def _interpret() -> bool:
 
 
 # ---------------------------------------------------------------------------
+# SPMD: shard the kernels over the batch under a device mesh
+# ---------------------------------------------------------------------------
+#
+# pallas_call has NO SPMD partitioning rule: under pjit on a >1-device mesh
+# XLA treats the kernel as an opaque custom call and replicates it — every
+# device all-gathers the FULL q/k/v and runs the whole batch (on CPU
+# interpret mode this also surfaces as "[SPMD] Involuntary full
+# rematerialization" warnings from the grid loop's dynamic slices).
+# Attention is batch-independent, so when an ambient mesh is installed
+# (`with mesh:`) and the batch divides the mesh size, we wrap the kernel in
+# shard_map over ALL mesh axes: each device runs only its batch shard and
+# the surrounding jit keeps the data-parallel layout end to end.
+
+
+def _ambient_kernel_mesh(batch: int):
+    """The mesh to shard_map a batch-parallel kernel over, or None."""
+    from jax.interpreters import pxla
+
+    mesh = pxla.thread_resources.env.physical_mesh
+    if mesh is None or mesh.empty or mesh.size <= 1:
+        return None
+    if batch % mesh.size != 0:
+        return None
+    try:
+        # axis already bound => we are INSIDE a shard_map over this mesh
+        # (e.g. Ulysses sequence parallelism) — the kernel is per-shard.
+        jax.lax.axis_index(mesh.axis_names[0])
+        return None
+    except Exception:
+        return mesh
+
+
+def _shard_batched_call(mesh, fn, *args):
+    """shard_map fn over dim 0 of every array arg (batch), replicating
+    args whose leading dim doesn't shard; output is batch-sharded."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+    specs = tuple(
+        P(axes) if a.shape[0] % mesh.size == 0 and a.shape[0] > 1 else P()
+        for a in args
+    )
+    wrapped = shard_map(fn, mesh=mesh, in_specs=specs,
+                        out_specs=P(axes), check_vma=False)
+    return wrapped(*args)
+
+
+# ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
 
@@ -614,15 +663,30 @@ def _rope_fused_ref(q, k, v, cos_s, sin_s, heads, scale):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _rope_fused_cvjp(q, k, v, cos_s, sin_s, heads, scale,
+                     bounded=False):
+    return _rope_fused_impl(q, k, v, cos_s, sin_s, heads, scale,
+                            bounded=bounded)
+
+
 def rope_fused_attention(q, k, v, cos_s, sin_s, heads, scale,
                          bounded=False):
     """Self-attention over split-RoPE-layout token-major tensors with the
     rotation fused into the kernel.  q/k: [B, L, C] in global split-half
     channel order; cos_s/sin_s: [B, L, C/2].  Shapes must satisfy
     :func:`rope_fused_supports`.  ``bounded``: qk-normed logits — skip the
-    softmax max pass (see _fwd_kernel_bounded)."""
-    return _rope_fused_impl(q, k, v, cos_s, sin_s, heads, scale,
-                            bounded=bounded)
+    softmax max pass (see _fwd_kernel_bounded).  Batch-sharded under an
+    ambient mesh (see _ambient_kernel_mesh)."""
+    mesh = _ambient_kernel_mesh(q.shape[0])
+    if mesh is None:
+        return _rope_fused_cvjp(q, k, v, cos_s, sin_s, heads, scale, bounded)
+    return _shard_batched_call(
+        mesh,
+        lambda q_, k_, v_, c_, s_: _rope_fused_cvjp(
+            q_, k_, v_, c_, s_, heads, scale, bounded
+        ),
+        q, k, v, cos_s, sin_s,
+    )
 
 
 def _rope_fused_fwd(q, k, v, cos_s, sin_s, heads, scale, bounded=False):
@@ -654,7 +718,7 @@ def _rope_fused_bwd(heads, scale, bounded, residuals, g):
     return dq, dk, dv, None, None
 
 
-rope_fused_attention.defvjp(_rope_fused_fwd, _rope_fused_bwd)
+_rope_fused_cvjp.defvjp(_rope_fused_fwd, _rope_fused_bwd)
 
 
 def _fused_ref(q, k, v, kv_mask, heads, scale):
@@ -703,14 +767,36 @@ def _fused_recompute_fn(q_shape, heads, kv_mask, scale):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _fused_token_cvjp(q, k, v, kv_mask, heads, scale, bounded=False):
+    return _fused_fwd_impl(q, k, v, kv_mask, heads, scale, bounded=bounded)
+
+
 def fused_token_attention(q, k, v, kv_mask, heads, scale, bounded=False):
     """Attention over token-major [B, L, heads*head_dim] tensors.
 
     kv_mask: optional [B, Lk] keep mask.  Shapes must satisfy
     :func:`fused_supports`.  Backward recomputes via flash/XLA (see
     _fused_recompute_fn).  ``bounded``: qk-normed logits — skip the
-    softmax max pass."""
-    return _fused_fwd_impl(q, k, v, kv_mask, heads, scale, bounded=bounded)
+    softmax max pass.  Batch-sharded under an ambient mesh (see
+    _ambient_kernel_mesh)."""
+    mesh = _ambient_kernel_mesh(q.shape[0])
+    if mesh is None:
+        return _fused_token_cvjp(q, k, v, kv_mask, heads, scale, bounded)
+    if kv_mask is None:
+        return _shard_batched_call(
+            mesh,
+            lambda q_, k_, v_: _fused_token_cvjp(
+                q_, k_, v_, None, heads, scale, bounded
+            ),
+            q, k, v,
+        )
+    return _shard_batched_call(
+        mesh,
+        lambda q_, k_, v_, m_: _fused_token_cvjp(
+            q_, k_, v_, m_, heads, scale, bounded
+        ),
+        q, k, v, kv_mask,
+    )
 
 
 def _fused_fwd(q, k, v, kv_mask, heads, scale, bounded=False):
@@ -727,7 +813,7 @@ def _fused_bwd(heads, scale, bounded, residuals, g):
     return dq, dk, dv, dmask
 
 
-fused_token_attention.defvjp(_fused_fwd, _fused_bwd)
+_fused_token_cvjp.defvjp(_fused_fwd, _fused_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -1026,5 +1112,22 @@ def flash_attention(
             from avatar_tpu.ops.attention import xla_attention
 
             return xla_attention(q, k, v, bias, scale)
-    return _flash(q, k, v, kv_mask, float(scale), int(block_q),
-                  int(block_kv), bool(bounded_logits))
+    scale, block_q, block_kv = float(scale), int(block_q), int(block_kv)
+    bounded_logits = bool(bounded_logits)
+    mesh = _ambient_kernel_mesh(q.shape[0])
+    if mesh is None:
+        return _flash(q, k, v, kv_mask, scale, block_q, block_kv,
+                      bounded_logits)
+    if kv_mask is None:
+        return _shard_batched_call(
+            mesh,
+            lambda q_, k_, v_: _flash(q_, k_, v_, None, scale, block_q,
+                                      block_kv, bounded_logits),
+            q, k, v,
+        )
+    return _shard_batched_call(
+        mesh,
+        lambda q_, k_, v_, m_: _flash(q_, k_, v_, m_, scale, block_q,
+                                      block_kv, bounded_logits),
+        q, k, v, kv_mask,
+    )
