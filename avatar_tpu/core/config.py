@@ -35,6 +35,14 @@ class TrainConfig:
     precision: str = "bfloat16"
 
     gradient_checkpointing: bool = False
+    # Rematerialization policy when gradient_checkpointing is on:
+    #   "full" — save only block inputs, recompute everything (min memory)
+    #   "dots" — jax.checkpoint_policies.dots_with_no_batch_dims_saveable:
+    #            weight matmul outputs are saved, attention/elementwise
+    #            recomputed (the usual best speed/memory point for "full"
+    #            fine-tuning; the reference can only do per-block all-or-
+    #            nothing, transformer3d.py:503-534)
+    remat_policy: str = "full"
     gradient_accumulation_steps: int = 1
 
     # TPU parallelism (replaces use_deepspeed/ds_config json):
@@ -121,6 +129,7 @@ def load_train_config_from_yaml(yaml_path: str) -> TrainConfig:
         lora_rank=int(t.get("lora_rank", 8)),
         lora_alpha=int(t.get("lora_alpha", 8)),
         gradient_checkpointing=bool(t.get("gradient_checkpointing", False)),
+        remat_policy=str(t.get("remat_policy", "full")),
         gradient_accumulation_steps=int(t.get("gradient_accumulation_steps", 1)),
         sharding_mode=sharding_mode,
         mesh_data=int(t.get("mesh_data", -1)),

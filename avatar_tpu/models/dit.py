@@ -24,6 +24,7 @@ around blocks (policy chosen by the trainer, not module state).
 from __future__ import annotations
 
 import enum
+import functools
 from dataclasses import dataclass, field
 from typing import Optional, Sequence, Tuple
 
@@ -271,6 +272,16 @@ def _attention(
 
     is_cross = encoder_hidden_states is not None or cross_kv is not None
     use_split_rope = rope_split and not is_cross and freqs_cis is not None
+    # Max-free (bounded-logit) softmax requires the qk-norm to actually run:
+    # gate on the norm params being PRESENT, not just cfg.qk_norm — _qk_norm
+    # silently skips when a checkpoint lacks q_norm/k_norm and unbounded
+    # logits would make the forward clamp diverge from the backward
+    # recompute (ADVICE r2 item 1).
+    bounded = (
+        cfg.qk_norm is not None
+        and params.get("q_norm") is not None
+        and params.get("k_norm") is not None
+    )
     qk_perm = (
         rope_channel_permutation(heads * head_dim) if use_split_rope else None
     )
@@ -309,7 +320,7 @@ def _attention(
             ):
                 out = rope_fused_attention(
                     q, k, v, freqs_cis[0], freqs_cis[1], heads,
-                    head_dim**-0.5, cfg.qk_norm is not None,
+                    head_dim**-0.5, bounded,
                 ).astype(q.dtype)
                 if skip_layer_mask is not None:
                     m = skip_layer_mask.reshape(b, 1, 1)
@@ -376,8 +387,7 @@ def _attention(
         if use_split_rope:
             q, k = split_to_head_major(q), split_to_head_major(k)
         out = fused_token_attention(
-            q, k, v, mask_2d, heads, head_dim**-0.5,
-            cfg.qk_norm is not None,
+            q, k, v, mask_2d, heads, head_dim**-0.5, bounded,
         )
     else:
         if use_split_rope:
@@ -386,7 +396,7 @@ def _attention(
             split(q), split(k), split(v), mask=kv_mask, impl=attention_impl,
             # rms/layer qk-norm bounds the logits -> max-free flash kernel
             # at long sequence lengths (ops/flash_attention.py)
-            bounded_logits=cfg.qk_norm is not None,
+            bounded_logits=bounded,
         )
         out = out.transpose(0, 2, 1, 3).reshape(b, -1, heads * head_dim)
     out = out.astype(q.dtype)
@@ -525,7 +535,7 @@ def dit_apply(
     attention_impl: str = "auto",
     lora: Optional[dict] = None,
     lora_scale: float = 1.0,
-    remat: bool = False,
+    remat=False,  # False | True/"full" | "dots" (see TrainConfig.remat_policy)
     freqs_cis: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     rope_split: bool = False,
     cross_kv: Optional[Sequence[Tuple[jnp.ndarray, jnp.ndarray]]] = None,
@@ -596,7 +606,20 @@ def dit_apply(
                 sp_axis=sp_axis,
             )
 
-        fn = jax.checkpoint(run) if remat else run
+        if remat:
+            # remat True/"full": save only block inputs. "dots": save
+            # weight-matmul outputs (dots_with_no_batch_dims_saveable) so
+            # the backward recomputes just attention/elementwise — ~40% of
+            # the recompute FLOPs for ~25% more activation memory.
+            policy = None
+            if isinstance(remat, str) and remat != "full":
+                policy = {
+                    "dots": jax.checkpoint_policies
+                    .dots_with_no_batch_dims_saveable,
+                }[remat]
+            fn = jax.checkpoint(run, policy=policy)
+        else:
+            fn = run
         x = fn(block, x)
 
     # Output modulation + projection (transformer3d.py:553-561).
@@ -632,13 +655,38 @@ def avatar_condition_tokens(
     return x.reshape(b, f * h * w, c)
 
 
-def permute_dit_params_for_split_rope(params: dict, cfg: DiTConfig) -> dict:
-    """Permute every block's attn1 q/k projection output columns (kernel,
-    bias, qk-norm scales) into the split-RoPE layout so that
-    ``dit_apply(..., rope_split=True)`` applies RoPE without the stride-2
-    gather.  Numerically exact: q and k share the permutation, attention
-    logits are channel-order invariant within a head, and v / to_out are
-    untouched.  Handles both full-precision and int8-quantized kernels."""
+def extract_rope_qk_subtree(params: dict) -> list:
+    """The attn1 q/k leaves (plus qk-norm scales) the split-RoPE permutation
+    touches — everything else is shared by reference."""
+    sub = []
+    for block in params["blocks"]:
+        a = block["attn1"]
+        e = {"to_q": a["to_q"], "to_k": a["to_k"]}
+        for norm in ("q_norm", "k_norm"):
+            if norm in a:
+                e[norm] = a[norm]
+        sub.append(e)
+    return sub
+
+
+def graft_rope_qk_subtree(params: dict, sub: list) -> dict:
+    """Rebuild the params tree with a (permuted) q/k subtree grafted in;
+    all untouched leaves alias the input tree's buffers."""
+    new_params = dict(params)
+    new_blocks = []
+    for block, e in zip(params["blocks"], sub):
+        nb = dict(block)
+        attn1 = dict(block["attn1"])
+        attn1.update(e)
+        nb["attn1"] = attn1
+        new_blocks.append(nb)
+    new_params["blocks"] = new_blocks
+    return new_params
+
+
+def permute_rope_qk_subtree(sub: list, cfg: DiTConfig) -> list:
+    """Pure (jittable) column permutation of the q/k subtree into the
+    split-RoPE layout.  Handles full-precision and int8-quantized kernels."""
     perm = rope_channel_permutation(cfg.inner_dim)
 
     def permute_linear(p: dict) -> dict:
@@ -658,21 +706,36 @@ def permute_dit_params_for_split_rope(params: dict, cfg: DiTConfig) -> dict:
             return None
         return {k: v[perm] for k, v in p.items()}
 
-    new_params = dict(params)
-    new_blocks = []
-    for block in params["blocks"]:
-        nb = dict(block)
-        attn1 = dict(block["attn1"])
-        attn1["to_q"] = permute_linear(attn1["to_q"])
-        attn1["to_k"] = permute_linear(attn1["to_k"])
-        if "q_norm" in attn1:
-            attn1["q_norm"] = permute_norm(attn1["q_norm"])
-        if "k_norm" in attn1:
-            attn1["k_norm"] = permute_norm(attn1["k_norm"])
-        nb["attn1"] = attn1
-        new_blocks.append(nb)
-    new_params["blocks"] = new_blocks
-    return new_params
+    out = []
+    for e in sub:
+        ne = {"to_q": permute_linear(e["to_q"]),
+              "to_k": permute_linear(e["to_k"])}
+        for norm in ("q_norm", "k_norm"):
+            if norm in e:
+                ne[norm] = permute_norm(e[norm])
+        out.append(ne)
+    return out
+
+
+def permute_dit_params_for_split_rope(
+    params: dict, cfg: DiTConfig, jit_wrap=None
+) -> dict:
+    """Permute every block's attn1 q/k projection output columns (kernel,
+    bias, qk-norm scales) into the split-RoPE layout so that
+    ``dit_apply(..., rope_split=True)`` applies RoPE without the stride-2
+    gather.  Numerically exact: q and k share the permutation, attention
+    logits are channel-order invariant within a head, and v / to_out are
+    untouched.
+
+    ``jit_wrap`` (e.g. ``jax.jit``) compiles the permutation into one
+    dispatch — it is applied ONLY to the q/k subtree, so the other ~75% of
+    the 2B params stay shared by reference with the input tree instead of
+    being copied by the jit (ADVICE r2: a whole-tree jit duplicated the
+    full bf16 params in HBM)."""
+    fn = functools.partial(permute_rope_qk_subtree, cfg=cfg)
+    if jit_wrap is not None:
+        fn = jit_wrap(fn)
+    return graft_rope_qk_subtree(params, fn(extract_rope_qk_subtree(params)))
 
 
 def precompute_cross_attention_kv(

@@ -109,17 +109,20 @@ def compute_position_bias(
     return bias.transpose(2, 0, 1)[None]  # [1, heads, q, k]
 
 
-def init_t5_encoder(key: jax.Array, cfg: T5Config) -> dict:
+def init_t5_encoder(key: jax.Array, cfg: T5Config, dtype=jnp.float32) -> dict:
+    """Random-init params.  ``dtype=jnp.bfloat16`` initializes directly in
+    bf16 so T5-XXL (4.76B params) allocates 9.5 GB instead of 19 GB — an
+    f32 init of the XXL encoder does not fit v5e HBM at all."""
     ks = jax.random.split(key, cfg.num_layers + 3)
     inner = cfg.num_heads * cfg.d_kv
 
     def attn(k):
         kk = jax.random.split(k, 4)
         return {
-            "q": init_linear(kk[0], cfg.d_model, inner, bias=False),
-            "k": init_linear(kk[1], cfg.d_model, inner, bias=False),
-            "v": init_linear(kk[2], cfg.d_model, inner, bias=False),
-            "o": init_linear(kk[3], inner, cfg.d_model, bias=False),
+            "q": init_linear(kk[0], cfg.d_model, inner, bias=False, dtype=dtype),
+            "k": init_linear(kk[1], cfg.d_model, inner, bias=False, dtype=dtype),
+            "v": init_linear(kk[2], cfg.d_model, inner, bias=False, dtype=dtype),
+            "o": init_linear(kk[3], inner, cfg.d_model, bias=False, dtype=dtype),
         }
 
     blocks = []
@@ -127,29 +130,35 @@ def init_t5_encoder(key: jax.Array, cfg: T5Config) -> dict:
         kk = jax.random.split(ks[i], 4)
         block = {
             "attn": attn(kk[0]),
-            "attn_norm": jnp.ones((cfg.d_model,)),
-            "ff_norm": jnp.ones((cfg.d_model,)),
+            "attn_norm": jnp.ones((cfg.d_model,), dtype),
+            "ff_norm": jnp.ones((cfg.d_model,), dtype),
         }
         if cfg.gated:
             block["ff"] = {
-                "wi_0": init_linear(kk[1], cfg.d_model, cfg.d_ff, bias=False),
-                "wi_1": init_linear(kk[2], cfg.d_model, cfg.d_ff, bias=False),
-                "wo": init_linear(kk[3], cfg.d_ff, cfg.d_model, bias=False),
+                "wi_0": init_linear(kk[1], cfg.d_model, cfg.d_ff, bias=False,
+                                    dtype=dtype),
+                "wi_1": init_linear(kk[2], cfg.d_model, cfg.d_ff, bias=False,
+                                    dtype=dtype),
+                "wo": init_linear(kk[3], cfg.d_ff, cfg.d_model, bias=False,
+                                  dtype=dtype),
             }
         else:
             block["ff"] = {
-                "wi": init_linear(kk[1], cfg.d_model, cfg.d_ff, bias=False),
-                "wo": init_linear(kk[3], cfg.d_ff, cfg.d_model, bias=False),
+                "wi": init_linear(kk[1], cfg.d_model, cfg.d_ff, bias=False,
+                                  dtype=dtype),
+                "wo": init_linear(kk[3], cfg.d_ff, cfg.d_model, bias=False,
+                                  dtype=dtype),
             }
         blocks.append(block)
 
     return {
-        "shared": jax.random.normal(ks[-1], (cfg.vocab_size, cfg.d_model)) * 1.0,
+        "shared": jax.random.normal(ks[-1], (cfg.vocab_size, cfg.d_model),
+                                    dtype),
         "rel_bias": jax.random.normal(
-            ks[-2], (cfg.relative_attention_num_buckets, cfg.num_heads)
-        ) * 0.1,
+            ks[-2], (cfg.relative_attention_num_buckets, cfg.num_heads), dtype
+        ) * jnp.asarray(0.1, dtype),
         "blocks": blocks,
-        "final_norm": jnp.ones((cfg.d_model,)),
+        "final_norm": jnp.ones((cfg.d_model,), dtype),
     }
 
 

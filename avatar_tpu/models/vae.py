@@ -539,7 +539,8 @@ def _apply_space_to_depth_down(
     if stride[0] == 2:
         x = jnp.concatenate([x[:, :1], x], axis=1)  # duplicate first frame
 
-    out_ch_conv = params["conv"]["kernel"].shape[-1]
+    conv_kernel = params["conv"].get("kernel", params["conv"].get("kernel_q8"))
+    out_ch_conv = conv_kernel.shape[-1]  # also valid for int8 (w8a8) convs
     in_ch = x.shape[-1]
     group_size = in_ch * int(np.prod(stride)) // (out_ch_conv * int(np.prod(stride)))
 

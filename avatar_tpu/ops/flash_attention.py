@@ -245,14 +245,21 @@ def _fwd_kernel_bounded_nomask(q_ref, k_ref, v_ref, o_ref, lse_ref, l, acc,
 
 
 def _pick_block(length: int, default: int) -> int:
-    """Largest multiple-of-128 block <= default that divides the 128-padded
-    length — avoids padding 5376-token sequences up to 6144 (14% wasted
-    MXU work with the 1024 default)."""
+    """Block size <= default (multiple of 128) maximizing throughput:
+    measured per-block efficiency (>=512 full speed, 256 ~0.45x, 128
+    ~0.21x on v5e) times useful/padded rows.  An exactly-dividing large
+    block wins outright (5376 -> 896, no padding); for awkward lengths
+    (e.g. 128*prime, where only 128 divides) a large block with one
+    partly-padded grid step beats the 128-row degenerate choice by ~4x
+    (ADVICE r2 item 2)."""
     padded = _round_up(length, 128)
-    for blk in range(min(default, padded), 127, -128):
-        if blk % 128 == 0 and padded % blk == 0:
-            return blk
-    return default
+    eff = {128: 0.21, 256: 0.45, 384: 0.8}
+    best, best_score = min(default, padded), -1.0
+    for blk in range(128, min(default, padded) + 1, 128):
+        score = eff.get(blk, 1.0) * length / _round_up(length, blk)
+        if score >= best_score:  # ties -> the larger block
+            best, best_score = blk, score
+    return best
 
 
 def _fwd_kernel_single(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
@@ -738,7 +745,7 @@ def _fused_ref(q, k, v, kv_mask, heads, scale):
     return out.transpose(0, 2, 1, 3).reshape(b, lq, c)
 
 
-def _fused_recompute_fn(q_shape, heads, kv_mask, scale):
+def _fused_recompute_fn(q_shape, heads, kv_mask, scale, k_len=None):
     """Recompute function used inside the fused paths' backward vjp.
 
     On TPU backends this routes through :func:`flash_attention` (head-major),
@@ -760,8 +767,11 @@ def _fused_recompute_fn(q_shape, heads, kv_mask, scale):
     from avatar_tpu.ops.attention import tpu_backend
 
     # same profitability rule as supports(): MXU-friendly head dim and a
-    # sequence product worth a kernel launch
-    if tpu_backend() and hd % 8 == 0 and hd <= 512 and lq * lq >= 128 * 128:
+    # sequence product worth a kernel launch. lq * lk, NOT lq * lq — a
+    # cross-attention backward (long q, short kv) would otherwise take the
+    # kernel at sizes where XLA measured faster (ADVICE r2 item 3).
+    lk = lq if k_len is None else k_len
+    if tpu_backend() and hd % 8 == 0 and hd <= 512 and lq * lk >= 128 * 128:
         return lambda q_, k_, v_: flash_ref(q_, k_, v_, kv_mask)
     return lambda q_, k_, v_: _fused_ref(q_, k_, v_, kv_mask, heads, scale)
 
@@ -806,7 +816,8 @@ def _fused_fwd(q, k, v, kv_mask, heads, scale, bounded=False):
 
 def _fused_bwd(heads, scale, bounded, residuals, g):
     q, k, v, kv_mask = residuals
-    recompute = _fused_recompute_fn(q.shape, heads, kv_mask, scale)
+    recompute = _fused_recompute_fn(q.shape, heads, kv_mask, scale,
+                                    k_len=k.shape[1])
     _, vjp = jax.vjp(recompute, q, k, v)
     dq, dk, dv = vjp(g)
     dmask = None if kv_mask is None else jnp.zeros_like(kv_mask)

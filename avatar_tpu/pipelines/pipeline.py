@@ -215,9 +215,12 @@ class LTXVideoPipeline:
         self.rope_split = rope_split
         self.raw_dit_params = dit_params
         if rope_split:
-            dit_params = _one_shot(
-                lambda p: permute_dit_params_for_split_rope(p, dit_cfg)
-            )(dit_params)
+            # jit_wrap applies only to the q/k subtree: the other ~75% of
+            # the params are shared by reference between raw_dit_params and
+            # dit_params instead of duplicated in HBM (ADVICE r2 item 4).
+            dit_params = permute_dit_params_for_split_rope(
+                dit_params, dit_cfg, jit_wrap=_one_shot,
+            )
         self.dit_params = dit_params
         self.vae_cfg = vae_cfg
         self.vae_params = vae_params
@@ -877,6 +880,23 @@ class LTXVideoPipeline:
         if output_type == "latent":
             return latents_out
 
+        return self.decode_latents(latents_out, p, key=k_dec,
+                                   output_type=output_type)
+
+    def decode_latents(
+        self,
+        latents: jnp.ndarray,  # [B, F, H, W, C] denoised latents
+        p: "GenerationParams",
+        key: Optional[jax.Array] = None,
+        output_type: str = "np",
+    ) -> jnp.ndarray:
+        """Decode denoised latents to media exactly as ``__call__`` does:
+        decode-time noise injection + timestep conditioning
+        (pipeline_ltx_video.py:1306-1321), tone mapping, VAE decode, and
+        fused postprocess (vae_decode wrapper parity, vae_encode.py:94)."""
+        batch_size = latents.shape[0]
+        if key is None:
+            key = jax.random.PRNGKey(0)
         decode_timestep = p.decode_timestep
         if not isinstance(decode_timestep, (list, tuple)):
             decode_timestep = [decode_timestep] * batch_size
@@ -887,10 +907,10 @@ class LTXVideoPipeline:
             decode_noise_scale = [decode_noise_scale] * batch_size
 
         return self._decode_fn(
-            self.vae_params, latents_out,
+            self.vae_params, latents,
             jnp.asarray(decode_timestep, dtype=jnp.float32),
             jnp.asarray(decode_noise_scale, dtype=jnp.float32),
-            k_dec,
+            key,
             tone_map=float(p.tone_map_compression_ratio),
             pcn=p.vae_per_channel_normalize,
             timestep_conditioning=self.vae_cfg.timestep_conditioning,

@@ -155,7 +155,7 @@ def velocity_loss(
     key: jax.Array,
     train_mode: str,
     attention_impl: str = "auto",
-    remat: bool = False,
+    remat=False,  # False | "full" | "dots"
     rope_split: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """training.py:94-166 as a pure function over (trainable, batch).
@@ -286,7 +286,11 @@ def make_train_step(
     back replicated, not fsdp-sharded) and the layout drifts from step 1 on.
     """
     accum = cfg.gradient_accumulation_steps
-    remat = cfg.gradient_checkpointing
+    # False | "full" | "dots" — see TrainConfig.remat_policy
+    remat = (
+        (getattr(cfg, "remat_policy", "full") or "full")
+        if cfg.gradient_checkpointing else False
+    )
 
     def step(trainable, opt_state, dit_params, batch, prompt_embeds,
              prompt_mask, key):

@@ -56,11 +56,95 @@ def build_pipeline():
     return pipe, (dit_cfg, dit_params, vae_cfg, vae_params)
 
 
-def make_inputs(batch, h, w, num_frames):
-    embeds = jax.random.normal(
-        jax.random.PRNGKey(2), (batch, 256, 4096), dtype=jnp.bfloat16
+def t5_stage():
+    """Measure the T5-XXL text encode ON DEVICE at real shape (24L x 4096d
+    x 10240ff, 4.76B params, bf16) and return its embeddings for the rest
+    of the bench — so the measured path includes a real T5 forward, not
+    injected random embeds (VERDICT r2 item 3).
+
+    Memory model (16 GB v5e HBM): T5-XXL bf16 is ~9.5 GB; the bf16 DiT
+    (4.0 GB + 0.5 GB split-RoPE q/k copies) + VAE (~0.9 GB) + decode
+    workspace leave no reliable headroom for coresidency, so the bench uses
+    the encode-then-free pattern: T5 runs first, its params are freed, and
+    the prompt embeddings (2 MB) persist. This mirrors the reference's own
+    CPU-offload of the text encoder on <30 GB GPUs
+    (/root/reference/ltx_video/inference.py:373) — and production serving,
+    where one encode per prompt is reused across videos/steps.
+    """
+    from avatar_tpu.models.t5 import T5Config, init_t5_encoder, t5_encode
+
+    t5_cfg = T5Config()  # XXL encoder defaults
+
+    # Pseudo-random fill WITHOUT threefry: generating 4.76B params through
+    # jax.random in one program measured ~500 s on the axon tunnel (the
+    # counter-based RNG's u32 ops crawl there); a sin-hash over iota is
+    # timing-equivalent for benchmarking (MXU throughput is
+    # value-independent) and runs in milliseconds.
+    def cheap_init(cfg):
+        shapes = jax.eval_shape(
+            lambda k: init_t5_encoder(k, cfg, dtype=jnp.bfloat16),
+            jax.random.PRNGKey(0),
+        )
+        leaves, treedef = jax.tree.flatten(shapes)
+
+        def fill(i, shape):
+            n = int(np.prod(shape))
+            x = jnp.arange(n, dtype=jnp.float32)
+            x = jnp.sin(x * 12.9898 + float(i)) * 43758.5453
+            x = x - jnp.floor(x) - 0.5
+            return (x * 0.05).astype(jnp.bfloat16).reshape(shape)
+
+        return jax.tree.unflatten(
+            treedef, [fill(i, l.shape) for i, l in enumerate(leaves)]
+        )
+
+    t0 = time.perf_counter()
+    params = jax.jit(lambda: cheap_init(t5_cfg))()
+    float(jnp.sum(params["final_norm"].astype(jnp.float32)))  # force done
+    init_s = time.perf_counter() - t0
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+    ids = jnp.asarray(
+        np.random.default_rng(0).integers(1, t5_cfg.vocab_size, (1, 256)),
+        jnp.int32,
     )
-    mask = jnp.ones((batch, 256))
+    mask = jnp.ones((1, 256), jnp.float32)
+    enc = jax.jit(lambda p, i, m: t5_encode(p, t5_cfg, i, m))
+    out = enc(params, ids, mask)
+    float(jnp.sum(out.astype(jnp.float32)))  # compile + first run
+
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        o = enc(params, ids, mask)
+        float(jnp.sum(o.astype(jnp.float32)))  # scalar fetch, not bulk D2H
+        ts.append(time.perf_counter() - t0)
+    t5_s = min(ts)
+
+    embeds = out.astype(jnp.bfloat16)  # independent buffer; params can go
+    del params, out, o
+    import gc
+
+    gc.collect()
+    stats = {
+        "t5_encode_ms": round(t5_s * 1e3, 2),
+        "t5_params_b": n_params,
+        "t5_hbm_gb_bf16": round(n_params * 2 / 1e9, 2),
+        "t5_init_s": round(init_s, 1),
+        "resident": "encode-then-free (XXL 9.5GB + DiT/VAE/decode workspace "
+                    "exceeds 16GB v5e HBM; embeds reused across videos)",
+    }
+    return embeds, mask, t5_s, stats
+
+
+def make_inputs(batch, h, w, num_frames, embeds=None, mask=None):
+    if embeds is None:
+        embeds = jax.random.normal(
+            jax.random.PRNGKey(2), (1, 256, 4096), dtype=jnp.bfloat16
+        )
+        mask = jnp.ones((1, 256))
+    embeds = jnp.broadcast_to(embeds, (batch,) + embeds.shape[1:])
+    mask = jnp.broadcast_to(mask, (batch,) + mask.shape[1:])
     ref = jax.random.normal(
         jax.random.PRNGKey(3), (batch, 1, h, w, 3), dtype=jnp.bfloat16
     )
@@ -155,6 +239,13 @@ def dit_step_stats(pipe, params, inputs, num_frames):
 
 
 def main():
+    # T5 first (encode-then-free): its embeddings feed every run below.
+    try:
+        t5_embeds, t5_mask, t5_s, t5_stats = t5_stage()
+    except Exception as e:
+        t5_embeds = t5_mask = None
+        t5_s, t5_stats = 0.0, f"failed: {e}"[:120]
+
     pipe, raw = build_pipeline()
     h = w = 256
     num_frames = 97
@@ -167,14 +258,19 @@ def main():
         )
 
     params = gen_params()
-    inputs1 = make_inputs(1, h, w, num_frames)
+    inputs1 = make_inputs(1, h, w, num_frames, t5_embeds, t5_mask)
     fps = throughput(pipe, params, inputs1, 1, num_frames)
 
     step_s, step_flops, mfu = dit_step_stats(pipe, params, inputs1, num_frames)
 
     fps_rgb = throughput(pipe, params, inputs1, 1, num_frames,
                          output_type="uint8")
+    # e2e including one T5 encode per video (unique prompt per video —
+    # repeated prompts amortize the encode to ~0)
+    e2e_t5_fps = num_frames / (num_frames / fps + t5_s) if fps else None
     details = {
+        "t5": t5_stats,
+        "e2e_with_t5_fps": round(e2e_t5_fps, 2) if e2e_t5_fps else None,
         "output_format": "yuv420 (I420 planes, cv2-parity tested)",
         "rgb_uint8_fps": round(fps_rgb, 2),
         "dit_step_ms": round(step_s * 1e3, 2),
@@ -186,7 +282,7 @@ def main():
 
     # batch scaling rows (weight reads amortize across samples)
     for batch in (2, 4):
-        inputs = make_inputs(batch, h, w, num_frames)
+        inputs = make_inputs(batch, h, w, num_frames, t5_embeds, t5_mask)
         try:
             fps_b = throughput(pipe, params, inputs, batch, num_frames,
                                n_videos=2)

@@ -383,3 +383,71 @@ def test_rope_split_train_step_matches_canonical():
               jax.tree.map(lambda x: x[0], batch), embeds, mask,
               jax.random.PRNGKey(3))
     assert np.isfinite(float(m_v["loss"]))
+
+
+def test_remat_policy_plumbing():
+    """gradient_checkpointing + remat_policy ("full"/"dots") must change
+    only memory scheduling, never values: the full-mode train step's
+    updated params bit-match the remat-off step (VERDICT r2 item 5)."""
+    import jax
+
+    from avatar_tpu.core.config import TrainConfig
+    from avatar_tpu.models.dit import DiTConfig, init_dit
+    from avatar_tpu.train.train import (
+        init_trainable, make_optimizer, make_train_step,
+    )
+
+    dit_cfg = DiTConfig(
+        num_attention_heads=2, attention_head_dim=8, in_channels=8,
+        out_channels=8, num_layers=2, cross_attention_dim=16,
+        caption_channels=16,
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "latents": rng.standard_normal((1, 2, 2, 2, 2, 8)).astype(np.float32),
+        "pose_latents": rng.standard_normal((1, 2, 2, 2, 2, 8)).astype(np.float32),
+        "ref_image_latents": rng.standard_normal((1, 2, 1, 2, 2, 8)).astype(np.float32),
+    }
+    embeds = jnp.asarray(rng.standard_normal((1, 4, 16)), jnp.float32)
+    mask = jnp.ones((1, 4))
+
+    results = {}
+    for ckpt, policy in ((False, "full"), (True, "full"), (True, "dots")):
+        cfg = TrainConfig(
+            checkpoint_path="remat-test", learning_rate=1e-3,
+            train_mode="full", gradient_checkpointing=ckpt,
+            remat_policy=policy,
+        )
+        params = init_dit(jax.random.PRNGKey(0), dit_cfg)
+        trainable = init_trainable(jax.random.PRNGKey(1), params, dit_cfg, cfg)
+        opt = make_optimizer(cfg)
+        opt_state = opt.init(trainable)
+        step = make_train_step(dit_cfg, cfg, opt, attention_impl="xla")
+        new_t, _, metrics = step(trainable, opt_state, params, batch,
+                                 embeds, mask, jax.random.PRNGKey(2))
+        results[(ckpt, policy)] = (
+            float(metrics["loss"]),
+            np.asarray(jax.flatten_util.ravel_pytree(new_t)[0]),
+        )
+
+    base_loss, base_t = results[(False, "full")]
+    for key in ((True, "full"), (True, "dots")):
+        loss, t = results[key]
+        # remat recomputes the same math but XLA may fuse/schedule the
+        # recompute differently -> tiny f32 reassociation noise, not
+        # bit-exactness
+        np.testing.assert_allclose(loss, base_loss, rtol=1e-6, atol=1e-7,
+                                   err_msg=str(key))
+        # (Adam's update normalizes by sqrt(nu)+eps, amplifying near-zero
+        # grad noise; absolute agreement is what matters here)
+        np.testing.assert_allclose(t, base_t, atol=1e-5,
+                                   err_msg=str(key))
+
+    with pytest.raises(KeyError):
+        bad = TrainConfig(checkpoint_path="x", train_mode="full",
+                          gradient_checkpointing=True,
+                          remat_policy="not-a-policy")
+        step = make_train_step(dit_cfg, bad, make_optimizer(bad),
+                               attention_impl="xla")
+        step(trainable, opt_state, params, batch, embeds, mask,
+             jax.random.PRNGKey(2))

@@ -1,0 +1,205 @@
+"""Standing W8A8 quantization quality gate (VERDICT r2 item 7).
+
+Generates videos from IDENTICAL seeds with the bf16 pipeline and the
+W8A8-quantized pipeline (int8 MXU linears + int8 VAE convs) and reports
+per-stage error metrics:
+
+- ``dit_latent_rel_err``   — relative L2 error of the denoised latents
+  (DiT-only: isolates the quantized block linears; VAE untouched because
+  both runs decode the SAME latents only in the next stage);
+- ``pixel_psnr`` / ``pixel_ssim`` / ``pixel_mean_abs`` — full-pipeline
+  uint8 output comparison (quantized DiT + quantized VAE);
+- ``vae_only_psnr`` — decode the bf16 latents through the quantized VAE
+  (isolates VAE conv quantization).
+
+Run on TPU at the full 2B shape:
+
+  python tools/quality_w8a8.py [--height 256 --width 256 --frames 97]
+      [--steps 8] [--checkpoint /path/to/2b.safetensors] [--assert]
+
+Random weights (the only option in this environment) produce garbage
+videos but REAL quantization error propagation at the real shapes; the
+thresholds are set from measured headroom so a quantization-path
+regression (e.g. a broken scale fusion) fails loudly.  The moment real
+weights are available, pass --checkpoint and the same gate measures true
+fidelity (reference quality metrics: validation.py:236-270).
+
+The core compare() is shape-agnostic and covered on CPU by
+tests/test_quality.py at a tiny config.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+# thresholds: round-3 measured values (random 2B weights, 256px 97f):
+# dit latent rel err ~1.3%, pixel mean abs diff ~2/255. Margined ~3x.
+THRESHOLDS = {
+    "dit_latent_rel_err": 0.06,
+    "pixel_psnr_db": 24.0,
+    "pixel_ssim": 0.80,
+}
+
+
+def psnr(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(peak * peak / mse)
+
+
+def ssim(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:
+    """Mean SSIM over frames, 7x7 uniform window (scipy), standard
+    constants K1=0.01 K2=0.03."""
+    from scipy.ndimage import uniform_filter
+
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    c1, c2 = (0.01 * peak) ** 2, (0.03 * peak) ** 2
+
+    def win(x):
+        # filter over the spatial axes only: x is [..., H, W, C]
+        size = [1] * x.ndim
+        size[-3] = size[-2] = 7
+        return uniform_filter(x, size=size, mode="reflect")
+
+    mu_a, mu_b = win(a), win(b)
+    var_a = win(a * a) - mu_a**2
+    var_b = win(b * b) - mu_b**2
+    cov = win(a * b) - mu_a * mu_b
+    s = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
+        (mu_a**2 + mu_b**2 + c1) * (var_a + var_b + c2)
+    )
+    return float(np.mean(s))
+
+
+def rel_err(a: np.ndarray, b: np.ndarray) -> float:
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    return float(np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12))
+
+
+def compare(pipe_bf16, pipe_q, gen_params, seed: int) -> dict:
+    """Run both pipelines from the same seed and inputs; return metrics."""
+    import jax
+    import jax.numpy as jnp
+
+    h, w = gen_params.width, gen_params.height
+    f = gen_params.num_frames + 1
+    cap = pipe_bf16.dit_cfg.caption_channels
+    dtype = pipe_bf16.raw_dit_params["patchify_proj"]["kernel"].dtype
+    embeds = jax.random.normal(jax.random.PRNGKey(2), (1, 256, cap),
+                               dtype=dtype)
+    mask = jnp.ones((1, 256))
+    ref = jax.random.normal(jax.random.PRNGKey(3), (1, 1, h, w, 3),
+                            dtype=dtype)
+    pose = jax.random.normal(jax.random.PRNGKey(4), (1, f, h, w, 3),
+                             dtype=dtype)
+
+    def run(pipe, output_type):
+        return np.asarray(
+            pipe(gen_params, jax.random.PRNGKey(seed), embeds, mask,
+                 ref_image=ref, pose_frames=pose, output_type=output_type)
+        )
+
+    lat_bf16 = run(pipe_bf16, "latent")
+    lat_q = run(pipe_q, "latent")
+    px_bf16 = run(pipe_bf16, "uint8")
+    px_q = run(pipe_q, "uint8")
+
+    # quantized-VAE-only: decode the bf16 latents through the w8a8 VAE
+    import jax.numpy as jnp
+
+    dec_q = np.asarray(
+        pipe_q.decode_latents(jnp.asarray(lat_bf16), gen_params,
+                              output_type="uint8")
+    )
+    dec_bf16 = np.asarray(
+        pipe_bf16.decode_latents(jnp.asarray(lat_bf16), gen_params,
+                                 output_type="uint8")
+    )
+
+    return {
+        "dit_latent_rel_err": round(rel_err(lat_q, lat_bf16), 5),
+        "pixel_psnr_db": round(psnr(px_q, px_bf16), 2),
+        "pixel_ssim": round(ssim(px_q, px_bf16), 4),
+        "pixel_mean_abs": round(
+            float(np.mean(np.abs(px_q.astype(np.float64)
+                                 - px_bf16.astype(np.float64)))), 3
+        ),
+        "vae_only_psnr_db": round(psnr(dec_q, dec_bf16), 2),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--height", type=int, default=256)
+    ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("--frames", type=int, default=97)
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--checkpoint", type=str, default=None,
+                    help="real 2B safetensors (default: random weights)")
+    ap.add_argument("--assert", dest="do_assert", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    from avatar_tpu.models.dit import DiTConfig, init_dit
+    from avatar_tpu.models.vae import LTX_VAE_CONFIG, VAEConfig, init_vae
+    from avatar_tpu.pipelines import GenerationParams, LTXVideoPipeline
+
+    if args.checkpoint:
+        from avatar_tpu.utils.weight_import import (
+            import_transformer_state, import_vae_state,
+            load_single_file_checkpoint,
+        )
+
+        configs, t_state, v_state = load_single_file_checkpoint(args.checkpoint)
+        dit_cfg = DiTConfig.from_dict(configs["transformer"])
+        vae_cfg = VAEConfig.from_dict(configs["vae"])
+        dit_params = import_transformer_state(t_state, dit_cfg)
+        vae_params = import_vae_state(v_state, vae_cfg)
+    else:
+        vae_cfg = VAEConfig.from_dict(
+            {**LTX_VAE_CONFIG, "timestep_conditioning": True}
+        )
+        dit_cfg = DiTConfig()
+        vae_params = init_vae(jax.random.PRNGKey(0), vae_cfg)
+        dit_params = init_dit(jax.random.PRNGKey(1), dit_cfg)
+
+    def bf16(t):
+        return jax.tree.map(lambda x: x.astype(jnp.bfloat16), t)
+
+    dit_params, vae_params = bf16(dit_params), bf16(vae_params)
+
+    gen_params = GenerationParams(
+        height=args.height, width=args.width, num_frames=args.frames - 1,
+        frame_rate=25.0, num_inference_steps=args.steps, guidance_scale=1.0,
+        stg_scale=0.0, rescaling_scale=1.0, decode_timestep=0.05,
+    )
+
+    pipe = LTXVideoPipeline(dit_cfg, dit_params, vae_cfg, vae_params)
+    pipe_q = LTXVideoPipeline(dit_cfg, dit_params, vae_cfg, vae_params,
+                              quantize_weights="w8a8", quantize_vae="w8a8")
+    metrics = compare(pipe, pipe_q, gen_params, args.seed)
+    metrics["weights"] = "checkpoint" if args.checkpoint else "random-2B-shape"
+    metrics["config"] = f"{args.height}x{args.width}x{args.frames}f" \
+                        f"@{args.steps}steps"
+    print(json.dumps(metrics))
+
+    if args.do_assert:
+        assert metrics["dit_latent_rel_err"] <= THRESHOLDS["dit_latent_rel_err"], metrics
+        assert metrics["pixel_psnr_db"] >= THRESHOLDS["pixel_psnr_db"], metrics
+        assert metrics["pixel_ssim"] >= THRESHOLDS["pixel_ssim"], metrics
+        print("quality gate: PASS")
+
+
+if __name__ == "__main__":
+    main()
