@@ -79,9 +79,12 @@ def _interpret() -> bool:
 
 def _ambient_kernel_mesh(batch: int):
     """The mesh to shard_map a batch-parallel kernel over, or None."""
-    from jax.interpreters import pxla
+    # jax._src.mesh is where the `with mesh:` context actually lives; the
+    # public pxla.thread_resources alias is deprecated in jax 0.9 (and
+    # get_abstract_mesh() only reflects the explicit-sharding use_mesh).
+    from jax._src import mesh as mesh_lib
 
-    mesh = pxla.thread_resources.env.physical_mesh
+    mesh = mesh_lib.thread_resources.env.physical_mesh
     if mesh is None or mesh.empty or mesh.size <= 1:
         return None
     if batch % mesh.size != 0:
@@ -242,6 +245,58 @@ def _fwd_kernel_bounded_nomask(q_ref, k_ref, v_ref, o_ref, lse_ref, l, acc,
                                *, scale, num_kv_blocks):
     _fwd_kernel_bounded(q_ref, k_ref, v_ref, None, o_ref, lse_ref, l, acc,
                         scale=scale, num_kv_blocks=num_kv_blocks)
+
+
+def _fwd_kernel_dense_bias(
+    q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
+    m_scratch, l_scratch, acc_scratch,
+    *, scale: float, num_kv_blocks: int,
+):
+    """Online-softmax forward with a dense additive bias block
+    [1, Bq, Bk] — the general mask/bias case the reference prepares at
+    `attention.py:825-932` and round 2 still sent to the XLA fallback.
+    Entries biased to <= NEG_INF/2 are treated as fully masked (p = 0),
+    so -inf-style padding biases behave like keep-masks."""
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale + bias_ref[0]  # [Bq, Bk] f32
+
+    m_prev = m_scratch[:][:, :1]
+    l_prev = l_scratch[:][:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_next)
+    # fully-masked entries (-inf bias): exp(s - m_next) can hit exp(0)=1
+    # when the whole block is masked; zero them explicitly
+    p = jnp.where(s > NEG_INF / 2, p, 0.0)
+    alpha = jnp.exp(m_prev - m_next)
+    l_next = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scratch[:] = acc_scratch[:] * alpha + pv
+    m_scratch[:] = jnp.broadcast_to(m_next, m_scratch.shape)
+    l_scratch[:] = jnp.broadcast_to(l_next, l_scratch.shape)
+
+    @pl.when(kv_idx == num_kv_blocks - 1)
+    def _finalize():
+        m = m_scratch[:][:, :1]
+        l = l_scratch[:][:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scratch[:] / l_safe).astype(o_ref.dtype)
+        lse = jnp.where(l == 0.0, LSE_MASKED, m + jnp.log(l_safe))
+        lse_ref[0, 0] = lse[:, 0]
 
 
 def _pick_block(length: int, default: int) -> int:
@@ -1091,6 +1146,128 @@ def _flash_bwd(scale, block_q, block_kv, bounded, residuals, g):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Dense-bias path (general [B, 1|H, Lq, Lk] additive bias)
+# ---------------------------------------------------------------------------
+
+
+def _flash_dense_forward(q, k, v, bias, scale, block_q, block_kv):
+    """Blocked forward with a dense additive bias.  bias: [Bb, Lq, Lk]
+    where Bb is B (shared across heads) or B*H (per-head)."""
+    batch, heads, lq, d = q.shape
+    qp, kp, vp, _, block_q, block_kv, lq_pad, lk_pad = _pad_inputs(
+        q, k, v, None, block_q, block_kv
+    )
+    bh = batch * heads
+    lk = k.shape[2]
+    # pad: q rows with 0 (sliced off at the end), kv columns with NEG_INF
+    # so padded keys are fully masked for every real row
+    bias = jnp.pad(
+        bias.astype(jnp.float32),
+        ((0, 0), (0, lq_pad - lq), (0, lk_pad - lk)),
+        constant_values=NEG_INF,
+    )
+    per_head = bias.shape[0] == bh
+
+    num_q_blocks = lq_pad // block_q
+    num_kv_blocks = lk_pad // block_kv
+    grid = (bh, num_q_blocks, num_kv_blocks)
+    if per_head:
+        bias_index = lambda b, qi, ki: (b, qi, ki)  # noqa: E731
+    else:
+        bias_index = lambda b, qi, ki, h=heads: (b // h, qi, ki)  # noqa: E731
+
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel_dense_bias, scale=scale,
+                          num_kv_blocks=num_kv_blocks),
+        interpret=_interpret(),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d), lambda b, qi, ki: (b, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d), lambda b, qi, ki: (b, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, block_kv), bias_index,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda b, qi, ki: (b, 0, qi),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, lq_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, 1, lq_pad), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qp, kp, vp, bias)
+    del lse
+    return out[:, :lq].reshape(batch, heads, lq, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_dense(q, k, v, bias, scale, block_q, block_kv):
+    return _flash_dense_forward(q, k, v, bias, scale, block_q, block_kv)
+
+
+def _flash_dense_fwd(q, k, v, bias, scale, block_q, block_kv):
+    out = _flash_dense_forward(q, k, v, bias, scale, block_q, block_kv)
+    return out, (q, k, v, bias)
+
+
+def _flash_dense_bwd(scale, block_q, block_kv, residuals, g):
+    # XLA recompute backward: dense-bias training is not a shipped config
+    # (the avatar flow uses keep-masks only), so the O(Lq*Lk) logits
+    # materialization here is an acceptable rarely-taken path.
+    q, k, v, bias = residuals
+    from avatar_tpu.ops.attention import xla_attention
+
+    heads = q.shape[1]
+    bias4 = bias[:, None] if bias.shape[0] == q.shape[0] else (
+        bias.reshape(q.shape[0], heads, bias.shape[1], bias.shape[2])
+    )
+
+    def ref(q_, k_, v_, b_):
+        return xla_attention(q_, k_, v_, b_, scale)
+
+    _, vjp = jax.vjp(ref, q, k, v, bias4)
+    dq, dk, dv, db4 = vjp(g)
+    db = db4.sum(axis=1) if bias.shape[0] == q.shape[0] else (
+        db4.reshape(bias.shape)
+    )
+    return dq, dk, dv, db.astype(bias.dtype)
+
+
+_flash_dense.defvjp(_flash_dense_fwd, _flash_dense_bwd)
+
+
+def dense_bias_supported(q, k, bias) -> bool:
+    """Whether the dense-bias Pallas kernel handles this (q, k, bias)."""
+    if bias.ndim != 4 or q.ndim != 4:
+        return False
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    return (
+        bias.shape[0] == b
+        and bias.shape[1] in (1, h)
+        and bias.shape[2] == lq
+        and bias.shape[3] == lk
+        and d % 8 == 0
+        and d <= 512
+        and lq * lk >= 128 * 128
+    )
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -1114,11 +1291,31 @@ def flash_attention(
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if bias is not None and kv_mask is None:
-        # Only per-kv-position biases can be converted to a keep mask.
+        # Per-kv-position biases become a keep mask (fast path); a general
+        # dense bias takes the dense-bias kernel when shapes allow, with
+        # XLA as the last resort (e.g. broadcast-incompatible layouts).
         squeezed = bias
         if squeezed.ndim == 4 and squeezed.shape[1] == 1 and squeezed.shape[2] == 1:
             kv_mask = (squeezed[:, 0, 0, :] >= -1.0).astype(jnp.float32)
             bias = None
+        elif dense_bias_supported(q, k, bias):
+            b, h, lq, _ = q.shape
+            lk = k.shape[2]
+            bias3 = (
+                bias[:, 0] if bias.shape[1] == 1
+                else bias.reshape(b * h, lq, lk)
+            )
+            scale_f = float(scale)
+            bq, bkv = int(block_q), int(block_kv)
+            mesh = _ambient_kernel_mesh(b)
+            if mesh is None:
+                return _flash_dense(q, k, v, bias3, scale_f, bq, bkv)
+            return _shard_batched_call(
+                mesh,
+                lambda q_, k_, v_, b_: _flash_dense(q_, k_, v_, b_,
+                                                    scale_f, bq, bkv),
+                q, k, v, bias3,
+            )
         else:
             from avatar_tpu.ops.attention import xla_attention
 

@@ -647,3 +647,83 @@ def test_quantize_rows_pallas_matches_jnp():
     np.testing.assert_array_equal(np.asarray(xq), np.asarray(q_ref))
     np.testing.assert_allclose(np.asarray(xs), np.asarray(s_ref), rtol=0)
     assert bool(jnp.all(jnp.isfinite(xs)))
+
+
+class TestDenseBiasFlash:
+    """Dense additive-bias flash kernel (VERDICT r2 item 9): the general
+    [B, 1|H, Lq, Lk] bias the reference's mask preparation can produce
+    (attention.py:825-932) no longer falls back to XLA."""
+
+    def _qkv(self, rng, b=2, h=2, lq=256, lk=192, d=32):
+        q = jnp.asarray(rng.standard_normal((b, h, lq, d)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((b, h, lk, d)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((b, h, lk, d)).astype(np.float32))
+        return q, k, v
+
+    @pytest.mark.parametrize("per_head", [False, True])
+    def test_matches_xla(self, rng, per_head):
+        q, k, v = self._qkv(rng)
+        shape = (2, 2 if per_head else 1, 256, 192)
+        bias = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        out = flash_attention(q, k, v, bias=bias, block_q=128, block_kv=128)
+        ref = xla_attention(q, k, v, bias)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    def test_neg_inf_bias_matches_keep_mask(self, rng):
+        """-1e30-style masking biases behave exactly like keep masks,
+        including fully-masked rows (zero output, no NaN)."""
+        q, k, v = self._qkv(rng)
+        keep = (rng.random((2, 192)) > 0.4).astype(np.float32)
+        keep_r = keep.copy()
+        keep_r[1, :] = 0.0  # batch 1: every key masked
+        bias = jnp.asarray(
+            np.where(keep_r[:, None, None, :] > 0.5, 0.0, -1e30)
+            * np.ones((2, 1, 256, 1), np.float32)
+        )
+        out = flash_attention(q, k, v, bias=bias, block_q=128, block_kv=128)
+        out_m = flash_attention(q, k, v, kv_mask=jnp.asarray(keep_r),
+                                block_q=128, block_kv=128)
+        assert np.isfinite(np.asarray(out)).all()
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out_m),
+                                   atol=3e-5)
+        np.testing.assert_allclose(np.asarray(out)[1], 0.0, atol=1e-6)
+
+    def test_non_multiple_lengths(self, rng):
+        q, k, v = self._qkv(rng, lq=250, lk=130)
+        bias = jnp.asarray(rng.standard_normal((2, 1, 250, 130)).astype(np.float32))
+        out = flash_attention(q, k, v, bias=bias, block_q=128, block_kv=128)
+        ref = xla_attention(q, k, v, bias)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    def test_grads_match_xla(self, rng):
+        q, k, v = self._qkv(rng, b=1, h=2, lq=128, lk=128)
+        bias = jnp.asarray(rng.standard_normal((1, 2, 128, 128)).astype(np.float32))
+
+        def loss(fn):
+            def inner(q_, k_, v_, b_):
+                return jnp.sum(fn(q_, k_, v_, b_) ** 2)
+            return inner
+
+        g_f = jax.grad(
+            loss(lambda q_, k_, v_, b_: flash_attention(
+                q_, k_, v_, bias=b_, block_q=128, block_kv=128)),
+            argnums=(0, 1, 2, 3),
+        )(q, k, v, bias)
+        g_x = jax.grad(
+            loss(lambda q_, k_, v_, b_: xla_attention(q_, k_, v_, b_)),
+            argnums=(0, 1, 2, 3),
+        )(q, k, v, bias)
+        for a, b in zip(g_f, g_x):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    def test_via_scaled_dot_product(self, rng):
+        """The dispatch layer routes 4-D masks through the kernel now
+        (no silent XLA fallback) — verified by value parity under
+        impl='flash'."""
+        from avatar_tpu.ops.attention import scaled_dot_product_attention
+
+        q, k, v = self._qkv(rng)
+        bias = jnp.asarray(rng.standard_normal((2, 1, 256, 192)).astype(np.float32))
+        out = scaled_dot_product_attention(q, k, v, mask=bias, impl="flash")
+        ref = scaled_dot_product_attention(q, k, v, mask=bias, impl="xla")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
