@@ -192,3 +192,96 @@ def test_pipeline_sequence_parallel_matches(sp_mesh):
     np.testing.assert_allclose(
         np.asarray(out_sp), np.asarray(out_base), atol=3e-5
     )
+
+
+def test_dit_apply_sp_backward_matches(sp_mesh):
+    """SP gradients (VERDICT r2 item 8: SP was forward-only everywhere).
+
+    shard_map transposes the Ulysses all-to-alls in the backward pass;
+    grads of a velocity-style loss wrt params AND tokens must match the
+    unsharded dit_apply backward on the 8-device CPU mesh.
+    """
+    from avatar_tpu.models.dit import DiTConfig, dit_apply, init_dit
+    from avatar_tpu.ops.rope import get_latent_coords
+    from avatar_tpu.parallel.sequence import dit_apply_sp
+
+    cfg = DiTConfig(
+        num_attention_heads=8, attention_head_dim=8, in_channels=16,
+        out_channels=16, num_layers=2, cross_attention_dim=64,
+        caption_channels=96,
+    )
+    params = init_dit(jax.random.PRNGKey(0), cfg)
+    b, f, h, w = 2, 4, 4, 4
+    tokens = jax.random.normal(jax.random.PRNGKey(1), (b, f * h * w, 16))
+    grid = get_latent_coords(f, h, w, batch_size=b)
+    text = jax.random.normal(jax.random.PRNGKey(2), (b, 8, 96))
+    mask = jnp.ones((b, 8))
+    t = jnp.asarray([0.5, 0.9])
+    target = jax.random.normal(jax.random.PRNGKey(3), tokens.shape)
+
+    def loss_base(p, x):
+        out = dit_apply(p, cfg, x, grid, t, text, mask,
+                        attention_impl="xla")
+        return jnp.mean((out - target) ** 2)
+
+    def loss_sp(p, x):
+        out = dit_apply_sp(p, cfg, x, grid, t, text, mask,
+                           mesh=sp_mesh, attention_impl="xla")
+        return jnp.mean((out - target) ** 2)
+
+    (l0, g0), (l1, g1) = (
+        jax.value_and_grad(loss_base, argnums=(0, 1))(params, tokens),
+        jax.value_and_grad(loss_sp, argnums=(0, 1))(params, tokens),
+    )
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    flat0 = jax.tree_util.tree_leaves_with_path(g0[0])
+    flat1 = jax.tree.leaves(g1[0])
+    assert len(flat0) == len(flat1)
+    for (path, a), bb in zip(flat0, flat1):
+        np.testing.assert_allclose(
+            np.asarray(bb), np.asarray(a), atol=3e-5,
+            err_msg=jax.tree_util.keystr(path),
+        )
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g0[1]),
+                               atol=3e-5)
+
+
+def test_dit_apply_sp_backward_flash(sp_mesh):
+    """Same but through the Pallas kernels (interpret mode on CPU) — the
+    production SP training combination."""
+    from avatar_tpu.models.dit import DiTConfig, dit_apply, init_dit
+    from avatar_tpu.ops.rope import get_latent_coords
+    from avatar_tpu.parallel.sequence import dit_apply_sp
+
+    cfg = DiTConfig(
+        num_attention_heads=8, attention_head_dim=16, in_channels=16,
+        out_channels=16, num_layers=1, cross_attention_dim=128,
+        caption_channels=96,
+    )
+    params = init_dit(jax.random.PRNGKey(0), cfg)
+    b, f, h, w = 1, 4, 8, 4
+    tokens = jax.random.normal(jax.random.PRNGKey(1), (b, f * h * w, 16))
+    grid = get_latent_coords(f, h, w, batch_size=b)
+    text = jax.random.normal(jax.random.PRNGKey(2), (b, 8, 96))
+    mask = jnp.ones((b, 8))
+    t = jnp.asarray([0.7])
+    target = jax.random.normal(jax.random.PRNGKey(3), tokens.shape)
+
+    def loss(p, impl):
+        def inner(pp):
+            out = (
+                dit_apply(pp, cfg, tokens, grid, t, text, mask,
+                          attention_impl="xla")
+                if impl == "base"
+                else dit_apply_sp(pp, cfg, tokens, grid, t, text, mask,
+                                  mesh=sp_mesh, attention_impl="flash")
+            )
+            return jnp.mean((out - target) ** 2)
+        return inner
+
+    with jax.default_matmul_precision("highest"):
+        l0, g0 = jax.value_and_grad(loss(params, "base"))(params)
+        l1, g1 = jax.value_and_grad(loss(params, "sp"))(params)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=2e-5)
+    for a, bb in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(bb), np.asarray(a), atol=2e-4)
