@@ -262,6 +262,20 @@ class LTXVideoPipeline:
 
     # -- data parallelism --------------------------------------------------
 
+    def _mesh_ctx(self):
+        """Ambient-mesh context for jit dispatch under data parallelism.
+
+        Pallas kernels partition over the batch only when an ambient mesh
+        is installed at trace time (ops/flash_attention._ambient_kernel_mesh
+        wraps them in shard_map); without this, the dp pipeline's attention
+        custom calls would be replicated by SPMD — every chip all-gathering
+        the full batch."""
+        import contextlib
+
+        return self.dp_mesh if self.dp_mesh is not None else (
+            contextlib.nullcontext()
+        )
+
     def _dp_put(self, *arrays):
         """Commit arrays with the batch (axis 0) sharded over the dp mesh.
 
@@ -300,7 +314,10 @@ class LTXVideoPipeline:
     def encode_media(
         self, media: jnp.ndarray, key: jax.Array, per_channel_normalize: bool = True
     ) -> jnp.ndarray:
-        return self._encode_fn(self.vae_params, media, key, per_channel_normalize)
+        with self._mesh_ctx():
+            return self._encode_fn(
+                self.vae_params, media, key, per_channel_normalize
+            )
 
     def _decode_impl(
         self, vae_params, latents, decode_timestep, decode_noise_scale, key,
@@ -668,7 +685,14 @@ class LTXVideoPipeline:
 
     # -- Main entry ----------------------------------------------------------
 
-    def __call__(
+    def __call__(self, *args, **kwargs):
+        """Generate media; see :meth:`_generate` for the signature.  Runs
+        under the dp mesh context so sharded-batch kernel dispatch (and any
+        retrace) sees the mesh."""
+        with self._mesh_ctx():
+            return self._generate(*args, **kwargs)
+
+    def _generate(
         self,
         params: GenerationParams,
         key: jax.Array,
@@ -897,6 +921,7 @@ class LTXVideoPipeline:
         batch_size = latents.shape[0]
         if key is None:
             key = jax.random.PRNGKey(0)
+        ctx = self._mesh_ctx()
         decode_timestep = p.decode_timestep
         if not isinstance(decode_timestep, (list, tuple)):
             decode_timestep = [decode_timestep] * batch_size
@@ -906,13 +931,14 @@ class LTXVideoPipeline:
         elif not isinstance(decode_noise_scale, (list, tuple)):
             decode_noise_scale = [decode_noise_scale] * batch_size
 
-        return self._decode_fn(
-            self.vae_params, latents,
-            jnp.asarray(decode_timestep, dtype=jnp.float32),
-            jnp.asarray(decode_noise_scale, dtype=jnp.float32),
-            key,
-            tone_map=float(p.tone_map_compression_ratio),
-            pcn=p.vae_per_channel_normalize,
-            timestep_conditioning=self.vae_cfg.timestep_conditioning,
-            output_type=output_type,
-        )
+        with ctx:
+            return self._decode_fn(
+                self.vae_params, latents,
+                jnp.asarray(decode_timestep, dtype=jnp.float32),
+                jnp.asarray(decode_noise_scale, dtype=jnp.float32),
+                key,
+                tone_map=float(p.tone_map_compression_ratio),
+                pcn=p.vae_per_channel_normalize,
+                timestep_conditioning=self.vae_cfg.timestep_conditioning,
+                output_type=output_type,
+            )
