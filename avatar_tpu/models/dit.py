@@ -412,9 +412,26 @@ def _attention(
 
 
 def _feed_forward(
-    params: dict, x: jnp.ndarray, cfg: DiTConfig,
+    params: dict, x, cfg: DiTConfig,
 ) -> jnp.ndarray:
     h = linear(params["proj_in"], x)
+    if (
+        cfg.activation_fn in ("geglu", "gelu", "gelu-approximate")
+        and "kernel_q8" in params["proj_out"]
+        and h.ndim == 3
+    ):
+        from avatar_tpu.ops.attention import tpu_backend
+
+        if h.shape[0] * h.shape[1] >= 2048 and tpu_backend():
+            # Long-sequence W8A8: activation + row quant in one Pallas pass
+            # over the [N, 8192] mid-activations — the widest elementwise
+            # site in the block (~300 MB/block of HBM as separate XLA
+            # gelu passes + quant at 5376 tokens).
+            from avatar_tpu.ops.int8_matmul import fused_act_quant
+
+            return linear(
+                params["proj_out"], fused_act_quant(h, cfg.activation_fn)
+            )
     if cfg.activation_fn == "gelu-approximate":
         h = jax.nn.gelu(h, approximate=True)
     elif cfg.activation_fn == "gelu":
@@ -447,7 +464,36 @@ def _block_apply(
     """BasicTransformerBlock.forward (attention.py:198-321)."""
     b = x.shape[0]
     original_x = x
-    norm_x = _std_norm(params.get("norm1"), x, cfg)
+
+    # Fused norm+modulate+quant producer (long-sequence W8A8 inference):
+    # rms-norm, AdaLN modulate, and the per-row int8 activation quant run
+    # as ONE Pallas pass feeding the int8 matmuls directly — the separate
+    # XLA norm/modulate fusion + Pallas quant pass each round-trip the
+    # [N, C] activations through HBM (~5 ms/step at 5376 tokens).  Only on
+    # the plain inference path: per-step scalar timestep (T==1 ada rows),
+    # no STG mixing through norm_x, no LoRA, no sequence parallelism.
+    def _tokens(t):
+        return t.shape[0] * t.shape[1] if t.ndim == 3 else 0
+
+    if (
+        cfg.standardization_norm == "rms_norm"
+        and cfg.adaptive_norm in ("single_scale_shift", "single_scale")
+        and timestep.shape[1] == 1
+        and _tokens(x) >= 2048
+        and "kernel_q8" in params["attn1"]["to_q"]
+        and skip_layer_mask is None
+        and lora is None
+        and sp_axis is None
+    ):
+        from avatar_tpu.ops.attention import tpu_backend
+
+        fused_quant_norm = tpu_backend()
+    else:
+        fused_quant_norm = False
+
+    norm_x = None if fused_quant_norm else _std_norm(
+        params.get("norm1"), x, cfg
+    )
 
     if cfg.adaptive_norm in ("single_scale_shift", "single_scale"):
         n_ada = params["scale_shift_table"].shape[0]
@@ -458,14 +504,26 @@ def _block_apply(
             shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = [
                 ada[:, :, i] for i in range(6)
             ]
-            norm_x = norm_x * (1 + scale_msa) + shift_msa
         else:
             scale_msa, gate_msa, scale_mlp, gate_mlp = [
                 ada[:, :, i] for i in range(4)
             ]
+            shift_msa = shift_mlp = None
+        if norm_x is not None:
             norm_x = norm_x * (1 + scale_msa)
+            if shift_msa is not None:
+                norm_x = norm_x + shift_msa
     else:
         shift_msa = scale_msa = gate_msa = shift_mlp = scale_mlp = gate_mlp = None
+
+    if fused_quant_norm:
+        from avatar_tpu.ops.int8_matmul import fused_rms_mod_quant
+
+        norm1_scale = (params.get("norm1") or {}).get("scale")
+        cvec = 1 + scale_msa
+        if norm1_scale is not None:
+            cvec = cvec * norm1_scale.astype(x.dtype)
+        norm_x = fused_rms_mod_quant(x, cvec, shift_msa, eps=cfg.norm_eps)
 
     attn_out = _attention(
         params["attn1"], norm_x, cfg,
@@ -502,11 +560,20 @@ def _block_apply(
         )
         x = x + attn_out
 
-    norm_x = _std_norm(params.get("norm2"), x, cfg)
-    if cfg.adaptive_norm == "single_scale_shift":
-        norm_x = norm_x * (1 + scale_mlp) + shift_mlp
-    elif cfg.adaptive_norm == "single_scale":
-        norm_x = norm_x * (1 + scale_mlp)
+    if fused_quant_norm and "kernel_q8" in params["ff"]["proj_in"]:
+        from avatar_tpu.ops.int8_matmul import fused_rms_mod_quant
+
+        norm2_scale = (params.get("norm2") or {}).get("scale")
+        cvec = 1 + scale_mlp
+        if norm2_scale is not None:
+            cvec = cvec * norm2_scale.astype(x.dtype)
+        norm_x = fused_rms_mod_quant(x, cvec, shift_mlp, eps=cfg.norm_eps)
+    else:
+        norm_x = _std_norm(params.get("norm2"), x, cfg)
+        if cfg.adaptive_norm == "single_scale_shift":
+            norm_x = norm_x * (1 + scale_mlp) + shift_mlp
+        elif cfg.adaptive_norm == "single_scale":
+            norm_x = norm_x * (1 + scale_mlp)
 
     ff_out = _feed_forward(params["ff"], norm_x, cfg)
     if gate_mlp is not None:

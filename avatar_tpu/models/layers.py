@@ -39,7 +39,21 @@ def init_linear(
     return p
 
 
-def linear(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+def linear(params: dict, x) -> jnp.ndarray:
+    from avatar_tpu.ops.int8_matmul import PrequantRows
+
+    if isinstance(x, PrequantRows):
+        # Rows already int8-quantized by a fused producer kernel
+        # (ops/int8_matmul.fused_rms_mod_quant / fused_geglu_quant) —
+        # straight to the in-register-dequant matmul.
+        from avatar_tpu.ops.int8_matmul import w8a8_matmul
+
+        assert "kernel_q8" in params, "prequant input needs w8a8 params"
+        out2d = w8a8_matmul(
+            x.q, x.s, params["kernel_q8"],
+            params["scale"], bias=params.get("bias"), out_dtype=x.dtype,
+        )
+        return out2d.reshape(*x.shape[:-1], out2d.shape[-1])
     if "kernel_q8" in params:
         # W8A8 (utils/quantize.py): dynamic per-token activation quant +
         # int8 x int8 dot on the MXU's 2x-rate int8 mode, dequant fused

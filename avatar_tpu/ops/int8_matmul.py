@@ -19,6 +19,7 @@ No reference equivalent (the reference is bf16/fp32 torch throughout).
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -58,8 +59,10 @@ def w8a8_matmul(
     w_s: jnp.ndarray,  # [N] f32 per-column weight scale
     bias: Optional[jnp.ndarray] = None,  # [N]
     out_dtype=jnp.bfloat16,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
+    if interpret is None:  # interpreter mode on CPU (unit tests)
+        interpret = jax.default_backend() == "cpu"
     m, k = x_q.shape
     k2, n = w_q.shape
     assert k == k2, (x_q.shape, w_q.shape)
@@ -117,7 +120,7 @@ def _quant_rows_kernel(x_ref, xq_ref, xs_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def quantize_rows_pallas(x: jnp.ndarray, interpret: bool = False):
+def quantize_rows_pallas(x: jnp.ndarray, interpret: Optional[bool] = None):
     """Single-pass per-row dynamic int8 quantization: x [M, K] bf16 ->
     (x_q int8 [M, K], x_s f32 [M, 1]) in ONE read of x.
 
@@ -126,6 +129,8 @@ def quantize_rows_pallas(x: jnp.ndarray, interpret: bool = False):
     producer fusion): ~20 ms/step at 5376 tokens in the 512px w8a8
     profile. Used by models.layers.linear on the long-sequence path
     feeding :func:`w8a8_matmul`."""
+    if interpret is None:  # interpreter mode on CPU (unit tests)
+        interpret = jax.default_backend() == "cpu"
     m, k = x.shape
     # ~1M elements per block: the in-kernel f32 upcast lives on the scoped
     # VMEM stack, so bm*k*(2+4+1) bytes plus double buffering must stay
@@ -150,6 +155,180 @@ def quantize_rows_pallas(x: jnp.ndarray, interpret: bool = False):
         interpret=interpret,
     )(x)
     return x_q, x_s[:, :1]
+
+
+class PrequantRows:
+    """Activation rows already quantized for :func:`w8a8_matmul`.
+
+    ``models.layers.linear`` accepts this in place of a bf16 array and skips
+    its own quant pass — the producer (a fused norm/activation kernel below)
+    quantized in-register while it already had the rows in VMEM.  Carries
+    the logical [..., K] shape/dtype so `linear` can reshape its output and
+    pick the accumulation dtype exactly as for a dense input.
+    """
+
+    __slots__ = ("q", "s", "shape", "dtype")
+
+    def __init__(self, q, s, shape, dtype):
+        self.q = q          # [M, K] int8
+        self.s = s          # [M, 1] f32 per-row scales
+        self.shape = shape  # logical (..., K)
+        self.dtype = dtype  # activation dtype for the output
+
+
+jax.tree_util.register_pytree_node(
+    PrequantRows,
+    lambda p: ((p.q, p.s), (tuple(p.shape), p.dtype)),
+    lambda aux, ch: PrequantRows(ch[0], ch[1], aux[0], aux[1]),
+)
+
+
+def _rms_mod_quant_kernel(x_ref, cvec_ref, shift_ref, xq_ref, xs_ref,
+                          *, eps: float):
+    """rsqrt-normalize rows, apply the folded (norm_scale * (1+ada_scale))
+    vector + ada shift, and int8-quantize — one read of x instead of the
+    separate norm/modulate/quant passes (~100 MB/block of HBM at 5376
+    tokens x 2048 ch)."""
+    x = x_ref[0].astype(jnp.float32)  # [bm, C]
+    ms = jnp.mean(x * x, axis=-1, keepdims=True)
+    y = x * jax.lax.rsqrt(ms + eps) * cvec_ref[0]
+    if shift_ref is not None:
+        y = y + shift_ref[0]
+    amax = jnp.max(jnp.abs(y), axis=-1, keepdims=True)
+    s = jnp.maximum(amax, 1e-30) / 127.0
+    xq_ref[0] = jnp.clip(jnp.round(y * (1.0 / s)), -127, 127).astype(jnp.int8)
+    xs_ref[0] = jnp.broadcast_to(s, xs_ref.shape[1:])
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def fused_rms_mod_quant(
+    x: jnp.ndarray,       # [B, N, C] activations
+    cvec: jnp.ndarray,    # [B, 1, C] folded norm_scale * (1 + ada_scale)
+    shift,                # [B, 1, C] ada shift, or None
+    eps: float = 1e-6,
+    interpret: Optional[bool] = None,
+) -> PrequantRows:
+    """Fused rms_norm -> AdaLN modulate -> per-row int8 quant.
+
+    Replaces the pre-attention / pre-FF chain of the quantized DiT at long
+    sequence lengths (models/dit.py:_block_apply), where the XLA norm +
+    modulate fusion and the Pallas quant pass each round-trip the
+    [N, 2048] activations through HBM.  Numerics: f32 row stats (matching
+    ops/normalization.rms_norm), modulate in f32, then the same
+    round-clip-127 quant as :func:`quantize_rows_pallas`."""
+    if interpret is None:  # interpreter mode on CPU (unit tests)
+        interpret = jax.default_backend() == "cpu"
+    b, n, c = x.shape
+    bm = min(n, max(128, (2**20) // c))
+    cvec = cvec.astype(jnp.float32)
+    specs = [
+        pl.BlockSpec((1, bm, c), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x, cvec]
+    if shift is not None:
+        specs.append(pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
+                                  memory_space=pltpu.VMEM))
+        args.append(shift.astype(jnp.float32))
+        kern = functools.partial(_rms_mod_quant_kernel, eps=eps)
+    else:
+        def kern(x_ref, cvec_ref, xq_ref, xs_ref):
+            _rms_mod_quant_kernel(x_ref, cvec_ref, None, xq_ref, xs_ref,
+                                  eps=eps)
+
+    x_q, x_s = pl.pallas_call(
+        kern,
+        grid=(b, pl.cdiv(n, bm)),
+        in_specs=specs,
+        out_specs=[
+            pl.BlockSpec((1, bm, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm, 128), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, c), jnp.int8),
+            jax.ShapeDtypeStruct((b, n, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*args)
+    return PrequantRows(
+        x_q.reshape(b * n, c), x_s.reshape(b * n, 128)[:, :1], x.shape,
+        x.dtype,
+    )
+
+
+def _gelu_erf(x):
+    return 0.5 * x * (1.0 + jax.lax.erf(x * (2.0**-0.5)))
+
+
+def _gelu_tanh(x):
+    # jax.nn.gelu(approximate=True) formula, f32
+    c = math.sqrt(2.0 / math.pi)
+    return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x * x * x)))
+
+
+def _act_quant_kernel(h_ref, xq_ref, xs_ref, *, act: str, width: int):
+    """FF mid-activation (gelu variant or GEGLU gate) + per-row int8 quant
+    in one pass over the [N, 4*inner or 8*inner] projections — the widest
+    elementwise site in the quantized DiT block (8192 ch at inner 2048)."""
+    h = h_ref[0].astype(jnp.float32)  # [bm, C2]
+    if act == "geglu":
+        y = h[:, :width] * _gelu_erf(h[:, width:])
+    elif act == "gelu":
+        y = _gelu_erf(h)
+    else:  # gelu-approximate
+        y = _gelu_tanh(h)
+    amax = jnp.max(jnp.abs(y), axis=-1, keepdims=True)
+    s = jnp.maximum(amax, 1e-30) / 127.0
+    xq_ref[0] = jnp.clip(jnp.round(y * (1.0 / s)), -127, 127).astype(jnp.int8)
+    xs_ref[0] = jnp.broadcast_to(s, xs_ref.shape[1:])
+
+
+@functools.partial(jax.jit, static_argnames=("act", "interpret"))
+def fused_act_quant(
+    h: jnp.ndarray, act: str = "gelu-approximate",
+    interpret: Optional[bool] = None,
+) -> PrequantRows:
+    """h [B, N, C2] FF projection -> activation -> int8 rows.
+
+    ``act``: "gelu-approximate" (tanh; the 2B LTX config), "gelu" (erf), or
+    "geglu" (h1 * gelu_erf(h2), output width C2/2) — numerics match
+    models/dit.py:_feed_forward's jax.nn.gelu variants in f32."""
+    if interpret is None:  # interpreter mode on CPU (unit tests)
+        interpret = jax.default_backend() == "cpu"
+    b, n, c2 = h.shape
+    if act == "geglu":
+        assert c2 % 2 == 0, h.shape
+        width = c2 // 2
+    else:
+        width = c2
+    bm = min(n, max(128, (2**20) // c2))
+    x_q, x_s = pl.pallas_call(
+        functools.partial(_act_quant_kernel, act=act, width=width),
+        grid=(b, pl.cdiv(n, bm)),
+        in_specs=[
+            pl.BlockSpec((1, bm, c2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bm, width), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm, 128), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, width), jnp.int8),
+            jax.ShapeDtypeStruct((b, n, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(h)
+    return PrequantRows(
+        x_q.reshape(b * n, width), x_s.reshape(b * n, 128)[:, :1],
+        (b, n, width), h.dtype,
+    )
 
 
 def quantize_rows(x: jnp.ndarray):

@@ -338,7 +338,22 @@ def main():
         )
         fps_512 = throughput(pipe_l, params512, inputs512, 1, 161,
                              n_videos=2)
-        details["long_context_512px_161f_w8a8"] = {"fps": round(fps_512, 2)}
+        # long-row audit (VERDICT r2 item 4): step time + MFU against the
+        # precision-aware floor (int8 matmuls at the 394 TOP/s MXU peak,
+        # attention bf16 at the measured 98 TF/s L=5376 kernel ceiling)
+        step5, flops5, mfu5 = dit_step_stats(pipe_l, params512, inputs512, 161)
+        n_tok = 5376
+        c = pipe_l.dit_cfg
+        attn_f = c.num_layers * (2 * n_tok * n_tok + 2 * n_tok * 256) * c.inner_dim * 2
+        floor_s = (flops5 - attn_f) / 394e12 + attn_f / 98e12
+        details["long_context_512px_161f_w8a8"] = {
+            "fps": round(fps_512, 2),
+            "dit_step_ms": round(step5 * 1e3, 2),
+            "dit_step_tflop": round(flops5 / 1e12, 2),
+            "dit_mfu_vs_v5e_bf16_peak": round(mfu5, 3),
+            "dit_util_vs_precision_aware_floor": round(step5 and floor_s / step5, 3),
+            "breakdown": "tools/perf_512.py audits encode/decode/host split",
+        }
         del pipe_l
     except Exception as e:
         details["long_context_512px_161f_w8a8"] = f"failed: {e}"[:80]
