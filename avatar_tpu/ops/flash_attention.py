@@ -25,6 +25,7 @@ Both recompute p blockwise from the saved lse — memory stays O(L * D).
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -36,6 +37,9 @@ from jax.experimental.pallas import tpu as pltpu
 # L=2640 (DiT inference seq) and ~65 TFLOP/s at L=8192 (see bench notes).
 DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_KV = 1024
+# MXU-side softmax denominator (ones-column of v) in the online-softmax
+# kernels at d < 128; module flag so tools can A/B it in one process.
+_FUSE_L = True
 # Backward keeps more live block temporaries; cap blocks lower for VMEM.
 DEFAULT_BWD_BLOCK = 512
 NEG_INF = -1e30
@@ -119,6 +123,17 @@ def _shard_batched_call(mesh, fn, *args):
 # ---------------------------------------------------------------------------
 
 
+def _extend_v_ones(v: jnp.ndarray, d: int) -> jnp.ndarray:
+    """[Bk, d < 128] -> [Bk, 128]: v zero-padded with column ``d`` set to 1,
+    so ``dot(p, v_ext)[:, d]`` accumulates the softmax denominator on the
+    MXU.  At d < 128 the PV pass covers 128 output lanes either way, so the
+    row-sum (and its scratch broadcast-stores) leaves the VPU for free —
+    ~1 of the ~5 VPU ops per logit element in the online-softmax kernels."""
+    vp = jnp.pad(v, ((0, 0), (0, 128 - d)))
+    lane = jax.lax.broadcasted_iota(jnp.int32, vp.shape, 1)
+    return jnp.where(lane == d, jnp.asarray(1, vp.dtype), vp)
+
+
 def _fwd_kernel(
     q_ref,  # [1, Bq, D]
     k_ref,  # [1, Bk, D]
@@ -126,27 +141,35 @@ def _fwd_kernel(
     mask_ref,  # [1, 1, Bk] fp32 keep mask (1=attend) or None
     o_ref,  # [1, Bq, D]
     lse_ref,  # [1, 1, Bq] fp32
-    m_scratch,  # [Bq, 128] fp32
-    l_scratch,  # [Bq, 128] fp32
-    acc_scratch,  # [Bq, D] fp32
-    *,
+    *scratch,  # fuse_l: (m [Bq,128], acc [Bq,128]); else (m, l, acc [Bq,D])
     scale: float,
     num_kv_blocks: int,
+    fuse_l: bool = False,
 ):
     kv_idx = pl.program_id(2)
+    if fuse_l:
+        m_scratch, acc_scratch = scratch
+        l_scratch = None
+    else:
+        m_scratch, l_scratch, acc_scratch = scratch
+    d = v_ref.shape[-1]
 
     @pl.when(kv_idx == 0)
     def _init():
         m_scratch[:] = jnp.full_like(m_scratch, NEG_INF)
-        l_scratch[:] = jnp.zeros_like(l_scratch)
+        if l_scratch is not None:
+            l_scratch[:] = jnp.zeros_like(l_scratch)
         acc_scratch[:] = jnp.zeros_like(acc_scratch)
 
-    # bf16 (or f32) multiplies with f32 accumulation on the MXU; the scale is
-    # applied to the f32 logits to preserve low-precision input mantissas.
+    # bf16 (or f32) multiplies with f32 accumulation on the MXU; a pow2
+    # scale is pre-folded into q by _flash_forward (exact), other scales
+    # are applied to the f32 logits to preserve low-precision mantissas.
     s = jax.lax.dot_general(
         q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale  # [Bq, Bk] f32
+    )  # [Bq, Bk] f32
+    if scale != 1.0:
+        s = s * scale
 
     keep = None
     if mask_ref is not None:
@@ -154,7 +177,6 @@ def _fwd_kernel(
         s = s + jnp.where(keep > 0.5, 0.0, NEG_INF)[None, :]
 
     m_prev = m_scratch[:][:, :1]  # [Bq, 1]
-    l_prev = l_scratch[:][:, :1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)  # [Bq, 1]
     m_next = jnp.maximum(m_prev, m_cur)
     p = jnp.exp(s - m_next)  # [Bq, Bk]
@@ -163,32 +185,47 @@ def _fwd_kernel(
         # zero those probabilities explicitly.
         p = p * jnp.where(keep > 0.5, 1.0, 0.0)[None, :]
     alpha = jnp.exp(m_prev - m_next)  # [Bq, 1]
-    l_next = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    pb = p.astype(v_ref.dtype)
 
-    pv = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [Bq, D] f32
-    acc_scratch[:] = acc_scratch[:] * alpha + pv
+    if fuse_l:
+        # acc columns [:d] = PV, column d = l; the alpha rescale applies
+        # to both (l_next = l_prev * alpha + rowsum(p) drops out exactly).
+        acc_scratch[:] = acc_scratch[:] * alpha + jax.lax.dot_general(
+            pb, _extend_v_ones(v_ref[0], d), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        l_prev = l_scratch[:][:, :1]
+        l_next = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            pb, v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Bq, D] f32
+        acc_scratch[:] = acc_scratch[:] * alpha + pv
+        l_scratch[:] = jnp.broadcast_to(l_next, l_scratch.shape)
     m_scratch[:] = jnp.broadcast_to(m_next, m_scratch.shape)
-    l_scratch[:] = jnp.broadcast_to(l_next, l_scratch.shape)
 
     @pl.when(kv_idx == num_kv_blocks - 1)
     def _finalize():
         m = m_scratch[:][:, :1]
-        l = l_scratch[:][:, :1]
+        if fuse_l:
+            l = acc_scratch[:][:, d:d + 1]
+            acc = acc_scratch[:][:, :d]
+        else:
+            l = l_scratch[:][:, :1]
+            acc = acc_scratch[:]
         # Fully-masked rows (l == 0) produce 0 output instead of NaN, and an
         # lse sentinel that keeps the backward p at exactly 0.
         l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc_scratch[:] / l_safe).astype(o_ref.dtype)
+        o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
         lse = jnp.where(l == 0.0, LSE_MASKED, m + jnp.log(l_safe))  # [Bq, 1]
         lse_ref[0, 0] = lse[:, 0]
 
 
-def _fwd_kernel_nomask(q_ref, k_ref, v_ref, o_ref, lse_ref, m, l, acc, *,
-                       scale, num_kv_blocks):
-    _fwd_kernel(q_ref, k_ref, v_ref, None, o_ref, lse_ref, m, l, acc,
-                scale=scale, num_kv_blocks=num_kv_blocks)
+def _fwd_kernel_nomask(q_ref, k_ref, v_ref, o_ref, lse_ref, *scratch,
+                       scale, num_kv_blocks, fuse_l=False):
+    _fwd_kernel(q_ref, k_ref, v_ref, None, o_ref, lse_ref, *scratch,
+                scale=scale, num_kv_blocks=num_kv_blocks, fuse_l=fuse_l)
 
 
 # Logit clamp for the bounded (max-free) kernel: rms qk-norm bounds |s| by
@@ -199,52 +236,79 @@ BOUNDED_LOGIT_CLAMP = 80.0
 
 
 def _fwd_kernel_bounded(
-    q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, l_scratch, acc_scratch,
-    *, scale: float, num_kv_blocks: int,
+    q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *scratch,
+    scale: float, num_kv_blocks: int, fuse_l: bool = False,
 ):
     """Max-free online softmax for qk-normed attention: rms q/k norms bound
     the logits (|s| <= ~8 for the 2B DiT), so the running max, its
     re-scaling of the accumulator, and one full subtract pass are all
     unnecessary — sum exp(s) directly and divide once at the end. Measured
     48 -> 88 TF/s at L=5376 / head_dim 64 on v5e (the K=64 MXU ceiling is
-    ~98). lse = log(l) keeps the backward kernels' p = exp(s - lse) exact."""
+    ~98). lse = log(l) keeps the backward kernels' p = exp(s - lse) exact.
+
+    ``fuse_l``: d < 128 — the denominator rides the PV matmul as a
+    ones-column of v (see :func:`_extend_v_ones`); with the pow2 scale
+    pre-folded into q the per-logit VPU work drops to exp+clamp+cast
+    (80.5 -> 87 TF/s at L=5376 on v5e, tools/sweep_512.py)."""
     kv_idx = pl.program_id(2)
+    if fuse_l:
+        (acc_scratch,) = scratch
+        l_scratch = None
+    else:
+        l_scratch, acc_scratch = scratch
+    d = v_ref.shape[-1]
 
     @pl.when(kv_idx == 0)
     def _init():
-        l_scratch[:] = jnp.zeros_like(l_scratch)
+        if l_scratch is not None:
+            l_scratch[:] = jnp.zeros_like(l_scratch)
         acc_scratch[:] = jnp.zeros_like(acc_scratch)
 
     s = jax.lax.dot_general(
         q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale  # [Bq, Bk] f32
+    )  # [Bq, Bk] f32
+    if scale != 1.0:
+        s = s * scale
 
     p = jnp.exp(jnp.minimum(s, BOUNDED_LOGIT_CLAMP))
     if mask_ref is not None:
         keep = mask_ref[0, 0]  # [Bk]
         p = p * jnp.where(keep > 0.5, 1.0, 0.0)[None, :]
-    l_scratch[:] += jnp.broadcast_to(
-        jnp.sum(p, axis=-1, keepdims=True), l_scratch.shape
-    )
-    acc_scratch[:] += jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    pb = p.astype(v_ref.dtype)
+    if fuse_l:
+        acc_scratch[:] += jax.lax.dot_general(
+            pb, _extend_v_ones(v_ref[0], d), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        l_scratch[:] += jnp.broadcast_to(
+            jnp.sum(p, axis=-1, keepdims=True), l_scratch.shape
+        )
+        acc_scratch[:] += jax.lax.dot_general(
+            pb, v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(kv_idx == num_kv_blocks - 1)
     def _finalize():
-        l = l_scratch[:][:, :1]
+        if fuse_l:
+            l = acc_scratch[:][:, d:d + 1]
+            acc = acc_scratch[:][:, :d]
+        else:
+            l = l_scratch[:][:, :1]
+            acc = acc_scratch[:]
         l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc_scratch[:] / l_safe).astype(o_ref.dtype)
+        o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
         lse = jnp.where(l == 0.0, LSE_MASKED, jnp.log(l_safe))  # [Bq, 1]
         lse_ref[0, 0] = lse[:, 0]
 
 
-def _fwd_kernel_bounded_nomask(q_ref, k_ref, v_ref, o_ref, lse_ref, l, acc,
-                               *, scale, num_kv_blocks):
-    _fwd_kernel_bounded(q_ref, k_ref, v_ref, None, o_ref, lse_ref, l, acc,
-                        scale=scale, num_kv_blocks=num_kv_blocks)
+def _fwd_kernel_bounded_nomask(q_ref, k_ref, v_ref, o_ref, lse_ref, *scratch,
+                               scale, num_kv_blocks, fuse_l=False):
+    _fwd_kernel_bounded(q_ref, k_ref, v_ref, None, o_ref, lse_ref, *scratch,
+                        scale=scale, num_kv_blocks=num_kv_blocks,
+                        fuse_l=fuse_l)
 
 
 def _fwd_kernel_dense_bias(
@@ -385,6 +449,14 @@ def _pad_inputs(q, k, v, kv_mask, block_q, block_kv):
 def _flash_forward(q, k, v, kv_mask, scale, block_q, block_kv,
                    with_lse: bool = False, bounded: bool = False):
     batch, heads, lq, d = q.shape
+    # Fold a power-of-two scale into q before the kernel: one [L, D] mul
+    # (fused into the pad copy by XLA) instead of a [Bq, Bk] f32 mul per
+    # grid step.  Exact for pow2 scales (bf16 exponent shift — head_dim 64
+    # gives scale = 0.125), so the saved lse and the backward kernels'
+    # s = (q @ k) * scale recompute stay bit-consistent.
+    if scale > 0.0 and math.frexp(scale)[0] == 0.5 and scale != 1.0:
+        q = q * jnp.asarray(scale, q.dtype)
+        scale = 1.0
     qp, kp, vp, maskp, block_q, block_kv, lq_pad, lk_pad = _pad_inputs(
         q, k, v, kv_mask, block_q, block_kv
     )
@@ -458,11 +530,13 @@ def _flash_forward(q, k, v, kv_mask, scale, block_q, block_kv,
         kernel = functools.partial(
             _fwd_kernel_bounded if bounded else _fwd_kernel,
             scale=scale, num_kv_blocks=num_kv_blocks,
+            fuse_l=_FUSE_L and d < 128,
         )
     else:
         kernel = functools.partial(
             _fwd_kernel_bounded_nomask if bounded else _fwd_kernel_nomask,
             scale=scale, num_kv_blocks=num_kv_blocks,
+            fuse_l=_FUSE_L and d < 128,
         )
 
     out, lse = pl.pallas_call(
@@ -481,11 +555,14 @@ def _flash_forward(q, k, v, kv_mask, scale, block_q, block_kv,
             jax.ShapeDtypeStruct((bh, 1, lq_pad), jnp.float32),
         ),
         scratch_shapes=(
-            [pltpu.VMEM((block_q, 128), jnp.float32)] if bounded else [
-                pltpu.VMEM((block_q, 128), jnp.float32),
-                pltpu.VMEM((block_q, 128), jnp.float32),
-            ]
-        ) + [pltpu.VMEM((block_q, d), jnp.float32)],
+            # bounded: (l if not fused) + acc; unbounded: m + (l) + acc.
+            # With fuse_l the acc widens to 128 columns (col d carries l).
+            ([] if bounded else [pltpu.VMEM((block_q, 128), jnp.float32)])
+            + ([] if _FUSE_L and d < 128
+               else [pltpu.VMEM((block_q, 128), jnp.float32)])
+            + [pltpu.VMEM(
+                (block_q, 128 if _FUSE_L and d < 128 else d), jnp.float32)]
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),

@@ -41,17 +41,26 @@ def _kernel(x_q_ref, x_s_ref, w_q_ref, w_s_ref, b_ref, out_ref):
 def _pick_bm(m: int, k: int) -> int:
     # int8 sublane tile is 32. Keep the x block around <=2 MB so the
     # double-buffered (x, w, out) working set stays under the ~16 MB VMEM
-    # scoped limit even at K=8192.
+    # scoped limit even at K=8192.  Among feasible sizes prefer the one
+    # minimizing ragged-edge padding waste (ties -> larger block): 5376
+    # rows run 896-row blocks (6 exact, 371 TOP/s) instead of 1024-row
+    # blocks (5.25 -> 6 padded, 326 TOP/s) — tools/sweep_512.py.
     cap = max(256, (2 * 2**20) // k)
     if m <= cap:
         return m
-    for bm in (1024, 512, 256):
-        if bm <= cap:
-            return bm
-    return 256  # ragged edge handled by pallas block padding
+    best, best_score = 256, -1.0
+    for bm in (1024, 896, 768, 672, 512, 448, 384, 320, 256):
+        if bm > cap:
+            continue
+        score = m / (bm * -(-m // bm))
+        if score > best_score:
+            best, best_score = bm, score
+    return best
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "interpret", "bm", "bn")
+)
 def w8a8_matmul(
     x_q: jnp.ndarray,  # [M, K] int8
     x_s: jnp.ndarray,  # [M, 1] f32 per-row activation scale
@@ -60,15 +69,22 @@ def w8a8_matmul(
     bias: Optional[jnp.ndarray] = None,  # [N]
     out_dtype=jnp.bfloat16,
     interpret: Optional[bool] = None,
+    bm: Optional[int] = None,  # block-size overrides (tools/sweep_512.py)
+    bn: Optional[int] = None,
 ) -> jnp.ndarray:
     if interpret is None:  # interpreter mode on CPU (unit tests)
         interpret = jax.default_backend() == "cpu"
     m, k = x_q.shape
     k2, n = w_q.shape
     assert k == k2, (x_q.shape, w_q.shape)
-    bm = _pick_bm(m, k)
-    # N tile: keep the (double-buffered) w block around <=1-2 MB
-    bn = min(512 if k <= 4096 else 256, n)
+    if bm is None:
+        bm = _pick_bm(m, k)
+    # N tile: keep the (double-buffered) w block around <=2 MB; wider
+    # tiles amortize the x-block re-reads (512 -> 1024 at K=2048 measured
+    # 340 -> 371 TOP/s at the DiT ff_in shape, tools/sweep_512.py)
+    if bn is None:
+        bn = min(1024 if k <= 2048 else (512 if k <= 4096 else 256), n)
+    bm, bn = min(bm, m), min(bn, n)
 
     w_s2 = w_s.reshape(1, n).astype(jnp.float32)
     b2 = None if bias is None else bias.reshape(1, n).astype(jnp.float32)
