@@ -91,7 +91,16 @@ def audit(tag, kw):
         np.asarray(oo)
     e2e_s = (time.perf_counter() - t0) / 2
 
-    # per-stage: latent-only at 40 and 1 steps -> dit step; decode = e2e - 40-step latent
+    # device-only e2e: fetch a single row of the uint8 output — waits for
+    # the full pipeline (encode + 40 steps + decode) but moves ~768 bytes,
+    # so tunnel D2H bandwidth (which swings >10x between axon sessions)
+    # drops out.  fetch_s = e2e - device_e2e is then pure host transfer.
+    def device_run(seed):
+        np.asarray(run(seed)[0, 0, 0])
+
+    device_e2e = best(device_run)
+
+    # per-stage: latent-only at 40 and 1 steps -> dit step; decode = device e2e - 40-step latent
     def latent_run(seed, p):
         out = run(seed, output_type="latent", p=p)
         return float(jnp.sum(out[..., 0].astype(jnp.float32)))
@@ -122,7 +131,10 @@ def audit(tag, kw):
         "dit_mfu_vs_v5e_bf16_peak": round(mfu_bf16, 3),
         "dit_util_vs_precision_aware_floor": round(util_vs_floor, 3),
         "overhead_latent1_s": round(t1, 3),  # encode + 1 step + loop setup
-        "decode_and_fetch_s": round(e2e_s - t40, 3),
+        "device_e2e_s": round(device_e2e, 3),
+        "decode_s": round(device_e2e - t40, 3),  # VAE decode+postprocess (device)
+        "fetch_s": round(e2e_s - device_e2e, 3),  # tunnel D2H minus pipeline overlap
+        "device_fps": round(nf / device_e2e, 2),
         "tokens": N_TOK,
     }
     print(json.dumps(row), flush=True)
