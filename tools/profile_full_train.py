@@ -47,7 +47,7 @@ batch = {
 embeds = jax.random.normal(jax.random.PRNGKey(4), (b, 256, 4096), jnp.bfloat16)
 mask = jnp.ones((b, 256))
 
-for ckpt, policy in ((False, "full"), (True, "dots"), (True, "full")):
+for ckpt, policy in ((True, "full"), (True, "dots"), (False, "full")):
     cfg = TrainConfig(checkpoint_path="", train_mode="full",
                       learning_rate=1e-4, gradient_accumulation_steps=1,
                       gradient_checkpointing=ckpt, remat_policy=policy)
@@ -75,9 +75,12 @@ for ckpt, policy in ((False, "full"), (True, "dots"), (True, "full")):
             ts.append(time.perf_counter() - t0)
         print(f"{tag}: step {min(ts)*1e3:.0f} ms (compile {compile_s:.0f} s, "
               f"loss {float(m['loss']):.4f})", flush=True)
-        del trainable, opt_state, step
     except Exception as e:  # OOM expected for remat=off at b=8
         print(f"{tag}: failed — {str(e)[:140]}", flush=True)
-    import gc
+    finally:
+        # drop the f32 AdamW masters (~11.6 GB at 0.97B trainable) even on
+        # failure — a leaked opt_state OOMs every config after the first
+        trainable = opt_state = step = run = m = None
+        import gc
 
-    gc.collect()
+        gc.collect()
