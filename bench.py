@@ -338,6 +338,16 @@ def main():
         )
         fps_512 = throughput(pipe_l, params512, inputs512, 1, 161,
                              n_videos=2)
+        # device-side fps: fetch one 512-byte row — waits for the full
+        # pipeline but excludes the ~63 MB tunnel D2H (which swings >10x
+        # between axon sessions and which the pipelined path overlaps)
+        def _dev_run(seed):
+            t0 = time.perf_counter()
+            np.asarray(run_batch(pipe_l, params512, inputs512,
+                                 seed=seed)[0, 0, 0])
+            return time.perf_counter() - t0
+        _dev_run(11)
+        dev_s = min(_dev_run(12), _dev_run(13))
         # long-row audit (VERDICT r2 item 4): step time + MFU against the
         # precision-aware floor (int8 matmuls at the 394 TOP/s MXU peak,
         # attention bf16 at the measured 98 TF/s L=5376 kernel ceiling)
@@ -348,6 +358,7 @@ def main():
         floor_s = (flops5 - attn_f) / 394e12 + attn_f / 98e12
         details["long_context_512px_161f_w8a8"] = {
             "fps": round(fps_512, 2),
+            "device_fps": round(161 / dev_s, 2),
             "dit_step_ms": round(step5 * 1e3, 2),
             "dit_step_tflop": round(flops5 / 1e12, 2),
             "dit_mfu_vs_v5e_bf16_peak": round(mfu5, 3),
