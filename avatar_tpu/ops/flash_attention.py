@@ -460,6 +460,19 @@ def _flash_forward(q, k, v, kv_mask, scale, block_q, block_kv,
     qp, kp, vp, maskp, block_q, block_kv, lq_pad, lk_pad = _pad_inputs(
         q, k, v, kv_mask, block_q, block_kv
     )
+    if bounded and lq_pad > block_q:
+        # Widen the kv block on the bounded (max-free) path: fewer
+        # accumulator passes per q row.  Measured at L=5376 (512px·161f):
+        # 896x896 -> 896x2688 is 2.96 -> 2.80 ms (84 TF/s).  Budget keeps
+        # the f32 logits tile + bf16 p copy within v5e VMEM (896x2688 f32 =
+        # 9.6 MB compiles; 1792x2688 does not).
+        widest = lk_pad // block_kv
+        for mult in range(widest, 1, -1):
+            wide = block_kv * mult
+            if (widest % mult == 0 and wide <= 2688
+                    and block_q * wide <= 896 * 2688):
+                block_kv = wide
+                break
     bh = batch * heads
     num_q_blocks = lq_pad // block_q
     num_kv_blocks = lk_pad // block_kv
