@@ -66,6 +66,21 @@ for i in range(6):
     ts.append(time.perf_counter() - t0)
 print("step ms:", [f"{t*1e3:.0f}" for t in ts])
 
+# steady state as the real loop runs it (cli/train.py drain_metrics): fetch
+# step i-1's metrics after dispatching step i, so the fetch overlaps device
+# execution.  This is the number to compare against device time.
+N = 10
+pending = None
+t0 = time.perf_counter()
+for i in range(N):
+    m = run(20 + i)
+    if pending is not None:
+        float(jax.tree.leaves(pending)[0])
+    pending = m
+float(jax.tree.leaves(pending)[0])
+dt = (time.perf_counter() - t0) / N
+print(f"pipelined wall ms/step (deferred metrics, {N} steps): {dt*1e3:.0f}")
+
 logdir = _args.logdir
 os.system(f"rm -rf {logdir}")
 with jax.profiler.trace(logdir):
