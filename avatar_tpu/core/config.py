@@ -45,6 +45,18 @@ class TrainConfig:
     remat_policy: str = "full"
     gradient_accumulation_steps: int = 1
 
+    # Optimizer (reference trains with torch AdamW, training.py:271; these
+    # extend it for TPU HBM budgets — full-mode AdamW keeps ~11.7 GB of f32
+    # master+moment state on a 16 GB v5e):
+    #   "adamw"     — optax.adamw, reference parity (default)
+    #   "adafactor" — optax.adafactor: factored second moment, no first
+    #                 moment (~MBs of state instead of 7.8 GB in full mode),
+    #                 freeing HBM for faster remat policies / larger batch
+    optimizer: str = "adamw"
+    # AdamW first-moment dtype ("float32" | "bfloat16"): bf16 halves the
+    # m-buffer (optax keeps the second moment f32 regardless)
+    optimizer_moment_dtype: str = "float32"
+
     # TPU parallelism (replaces use_deepspeed/ds_config json):
     #   "dp"    — pure data parallel (params replicated)
     #   "zero2" — params replicated, optimizer state sharded over 'fsdp'
@@ -131,6 +143,8 @@ def load_train_config_from_yaml(yaml_path: str) -> TrainConfig:
         gradient_checkpointing=bool(t.get("gradient_checkpointing", False)),
         remat_policy=str(t.get("remat_policy", "full")),
         gradient_accumulation_steps=int(t.get("gradient_accumulation_steps", 1)),
+        optimizer=str(t.get("optimizer", "adamw")),
+        optimizer_moment_dtype=str(t.get("optimizer_moment_dtype", "float32")),
         sharding_mode=sharding_mode,
         mesh_data=int(t.get("mesh_data", -1)),
         mesh_fsdp=int(t.get("mesh_fsdp", 1)),

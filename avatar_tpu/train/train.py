@@ -243,10 +243,18 @@ def velocity_loss(
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     # torch.optim.AdamW defaults (training.py:271): betas (0.9, 0.999),
-    # eps 1e-8, weight_decay 0.01
+    # eps 1e-8, weight_decay 0.01.  cfg.optimizer / optimizer_moment_dtype
+    # trade optimizer-state HBM for speed/batch headroom (see TrainConfig).
+    if cfg.optimizer == "adafactor":
+        return optax.adafactor(cfg.learning_rate or 1e-4)
+    if cfg.optimizer != "adamw":
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    mu_dtype = None
+    if cfg.optimizer_moment_dtype in ("bfloat16", "bf16"):
+        mu_dtype = jnp.bfloat16
     return optax.adamw(
         cfg.learning_rate or 1e-4, b1=0.9, b2=0.999, eps=1e-8,
-        weight_decay=0.01,
+        weight_decay=0.01, mu_dtype=mu_dtype,
     )
 
 

@@ -451,3 +451,58 @@ def test_remat_policy_plumbing():
                                attention_impl="xla")
         step(trainable, opt_state, params, batch, embeds, mask,
              jax.random.PRNGKey(2))
+
+
+def test_optimizer_options():
+    """cfg.optimizer / optimizer_moment_dtype (TPU HBM levers beyond the
+    reference's fixed torch AdamW, training.py:271): adafactor keeps a
+    factored second moment (state << param bytes), bf16 mu halves the AdamW
+    first moment; both must still produce a learning step."""
+    from avatar_tpu.train.train import init_trainable, make_train_step
+
+    batch = _batch()
+    embeds, mask = _prompt()
+
+    losses = {}
+    for name, kw in (
+        ("adamw", {}),
+        ("adamw_bf16mu", {"optimizer_moment_dtype": "bfloat16"}),
+        ("adafactor", {"optimizer": "adafactor"}),
+    ):
+        cfg = _cfg(train_mode="full", **kw)
+        params = init_dit(jax.random.PRNGKey(0), DIT)
+        trainable = init_trainable(jax.random.PRNGKey(1), params, DIT, cfg)
+        opt = make_optimizer(cfg)
+        opt_state = opt.init(trainable)
+        step = make_train_step(DIT, cfg, opt, attention_impl="xla")
+        t = trainable
+        for i in range(3):
+            t, opt_state, metrics = step(t, opt_state, params, batch,
+                                         embeds, mask, jax.random.PRNGKey(i))
+        losses[name] = float(metrics["loss"])
+
+        n_param = sum(x.size * x.dtype.itemsize
+                      for x in jax.tree.leaves(trainable))
+        n_state = sum(x.size * getattr(x, "dtype", np.dtype("f4")).itemsize
+                      for x in jax.tree.leaves(opt_state)
+                      if hasattr(x, "size"))
+        if name == "adafactor":
+            # no first moment: state <= one param copy (tiny test dims stay
+            # unfactored — optax only factors dims >= 128, checked below)
+            assert n_state <= 1.05 * n_param, (n_state, n_param)
+        elif name == "adamw_bf16mu":
+            # mu bf16 + nu f32 = 1.5x param bytes (vs 2x for f32 mu)
+            assert n_state < 1.6 * n_param, (n_state, n_param)
+
+    for name, loss in losses.items():
+        assert np.isfinite(loss), name
+
+    # at production dims the second moment is factored: a [2048, 512] param
+    # must keep no state leaf anywhere near its own size
+    st = make_optimizer(_cfg(optimizer="adafactor")).init(
+        {"w": jnp.zeros((2048, 512))})
+    assert not [x for x in jax.tree.leaves(st)
+                if hasattr(x, "size") and x.size >= 2048 * 512 // 4]
+
+    with pytest.raises(ValueError):
+        make_optimizer(_cfg(optimizer="sgd"))

@@ -47,11 +47,19 @@ batch = {
 embeds = jax.random.normal(jax.random.PRNGKey(4), (b, 256, 4096), jnp.bfloat16)
 mask = jnp.ones((b, 256))
 
-for ckpt, policy in ((True, "full"), (True, "dots"), (False, "full")):
+ROWS = (
+    # (gradient_checkpointing, remat_policy, optimizer)
+    (True, "full", "adamw"),      # round-3 baseline: 563 ms
+    (True, "dots", "adafactor"),  # factored 2nd moment frees ~7.8 GB ->
+    (True, "full", "adafactor"),  #   does "dots" now fit / pay off?
+    (False, "full", "adafactor"),
+)
+for ckpt, policy, optname in ROWS:
     cfg = TrainConfig(checkpoint_path="", train_mode="full",
                       learning_rate=1e-4, gradient_accumulation_steps=1,
-                      gradient_checkpointing=ckpt, remat_policy=policy)
-    tag = f"remat={'off' if not ckpt else policy}"
+                      gradient_checkpointing=ckpt, remat_policy=policy,
+                      optimizer=optname)
+    tag = f"remat={'off' if not ckpt else policy} opt={optname}"
     try:
         trainable = init_trainable(jax.random.PRNGKey(1), params, dit_cfg, cfg)
         opt = make_optimizer(cfg)
