@@ -36,7 +36,10 @@ from PIL import Image
 # ---------------------------------------------------------------------------
 
 
-def read_video(path: str) -> Tuple[List[Image.Image], float]:
+def read_video(path: str) -> Tuple[List[np.ndarray], float]:
+    """Decode to RGB uint8 numpy frames (PIL wrapping deferred to the resize
+    so decode stays a plain memcpy; was 2x slower with per-frame
+    Image.fromarray().convert())."""
     import cv2
 
     cap = cv2.VideoCapture(str(path))
@@ -46,23 +49,48 @@ def read_video(path: str) -> Tuple[List[Image.Image], float]:
         ok, frame = cap.read()
         if not ok:
             break
-        frames.append(Image.fromarray(frame[..., ::-1]).convert("RGB"))
+        frames.append(np.ascontiguousarray(frame[..., ::-1]))
     cap.release()
     return frames, float(fps)
 
 
 def preprocess_frames(
-    frames: List[Image.Image], height: int, width: int
+    frames: List, height: int, width: int, as_uint8: bool = False
 ) -> np.ndarray:
-    """Bicubic resize + [-1,1]; returns channels-last [1, F, H, W, 3]."""
-    processed = [
-        np.asarray(im.resize((width, height), Image.BICUBIC), np.float32) / 255.0
-        for im in frames
-    ]
-    if not processed:
+    """PIL-bicubic resize + [-1,1]; returns channels-last [1, F, H, W, 3].
+
+    Accepts PIL images or RGB uint8 arrays. Resizes run on a thread pool
+    (PIL's C resample releases the GIL) — the host decode+prep side must
+    outrun the device encode for the double-buffered latent-extraction loop
+    to stay device-bound (tools/perf_preprocess.py measures both sides).
+
+    ``as_uint8``: skip the host-side normalize and return uint8 — 4x less
+    host->device traffic; :class:`VAEEncoder` normalizes on-device inside
+    the jit (bit-equal: (x/255)*2-1 in f32 before the dtype cast)."""
+    if not frames:
         raise ValueError("No frames to process")
-    x = np.stack(processed, axis=0) * 2.0 - 1.0
-    return x[None]
+
+    def resize(im):
+        if not isinstance(im, Image.Image):
+            im = Image.fromarray(im)
+        elif im.mode != "RGB":
+            im = im.convert("RGB")
+        return np.asarray(im.resize((width, height), Image.BICUBIC), np.uint8)
+
+    if len(frames) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as ex:
+            processed = list(ex.map(resize, frames))
+    else:
+        processed = [resize(frames[0])]
+    x = np.stack(processed, axis=0)
+    if as_uint8:
+        return x[None]
+    xf = x.astype(np.float32)
+    xf *= 2.0 / 255.0
+    xf -= 1.0
+    return xf[None]
 
 
 def iter_clips(num_frames: int, clip_length: int, stride: int):
@@ -134,31 +162,51 @@ class VAEEncoder:
     """Jitted VAE encoder from a single-file checkpoint."""
 
     def __init__(self, ckpt_path: str, precision: str = "bfloat16"):
-        import jax
-        import jax.numpy as jnp
-
-        from avatar_tpu.models.vae import VAEConfig, vae_encode
+        from avatar_tpu.models.vae import VAEConfig
         from avatar_tpu.utils.weight_import import (
             import_vae_state, load_single_file_checkpoint,
         )
 
         configs, _, v_state = load_single_file_checkpoint(ckpt_path)
-        self.cfg = VAEConfig.from_dict(configs["vae"])
-        params = import_vae_state(v_state, self.cfg)
+        cfg = VAEConfig.from_dict(configs["vae"])
+        self._setup(import_vae_state(v_state, cfg), cfg, precision)
+
+    @classmethod
+    def from_params(cls, params, cfg, precision: str = "bfloat16"):
+        """Wrap an in-memory param tree (tests / perf tools / serving paths
+        that already hold the weights) without a checkpoint file."""
+        self = cls.__new__(cls)
+        self._setup(params, cfg, precision)
+        return self
+
+    def _setup(self, params, cfg, precision: str):
+        import jax
+        import jax.numpy as jnp
+
+        from avatar_tpu.models.vae import vae_encode
+
+        self.cfg = cfg
         self.dtype = (
             jnp.bfloat16 if precision in ("bfloat16", "bf16") else jnp.float32
         )
         self.params = jax.tree.map(lambda x: x.astype(self.dtype), params)
-        self._encode = jax.jit(
-            lambda p, x, k, pcn: vae_encode(
-                p, self.cfg, x, key=k, per_channel_normalize=pcn
-            ),
-            static_argnames=("pcn",),
-        )
+
+        def encode(p, x, k, pcn):
+            if x.dtype == jnp.uint8:
+                # on-device normalize (preprocess_frames(as_uint8=True)
+                # ships uint8 — 4x less H2D than f32): bit-equal to the
+                # host path's (x/255)*2-1 in f32
+                x = x.astype(jnp.float32) * (2.0 / 255.0) - 1.0
+            x = x.astype(self.dtype)
+            return vae_encode(p, self.cfg, x, key=k, per_channel_normalize=pcn)
+
+        self._encode = jax.jit(encode, static_argnames=("pcn",))
         self._jax = jax
 
     def encode(self, media: np.ndarray, seed: int, per_channel: bool = True):
-        x = self._jax.numpy.asarray(media, dtype=self.dtype)
+        x = self._jax.numpy.asarray(media)
+        if x.dtype != self._jax.numpy.uint8:
+            x = x.astype(self.dtype)
         return self._encode(
             self.params, x, self._jax.random.PRNGKey(seed), per_channel
         )
@@ -170,9 +218,14 @@ class VAEEncoder:
 
 
 def _iter_preprocessed_clips(files, clip_length, stride, height, width,
-                             prefetch: int = 2):
+                             prefetch: int = 2, stage=None):
     """Producer thread: host video decode + resize runs ahead of the device
-    encode (the chip never waits on IO — 'saturate host->HBM' north star)."""
+    encode (the chip never waits on IO — 'saturate host->HBM' north star).
+
+    ``stage``: optional second pipeline stage applied to each clip array on
+    its own thread — cmd_save_vae_latents passes ``jax.device_put`` so the
+    host->device transfer overlaps both the next clip's decode and the
+    current encode (three-stage pipeline: decode | H2D | encode)."""
     import queue
     import threading
 
@@ -189,12 +242,28 @@ def _iter_preprocessed_clips(files, clip_length, stride, height, width,
                 for clip_idx, (s, e) in enumerate(
                     iter_clips(len(frames), clip_length, stride)
                 ):
-                    x = preprocess_frames(frames[s:e], height, width)
+                    x = preprocess_frames(frames[s:e], height, width,
+                                          as_uint8=True)
                     q.put((x, base, clip_idx, s, e, fps))
         finally:
             q.put(SENTINEL)
 
     threading.Thread(target=producer, daemon=True).start()
+
+    if stage is not None:
+        q2: "queue.Queue" = queue.Queue(maxsize=prefetch)
+
+        def stager():
+            while True:
+                item = q.get()
+                if item is SENTINEL:
+                    q2.put(SENTINEL)
+                    return
+                q2.put((stage(item[0]),) + item[1:])
+
+        threading.Thread(target=stager, daemon=True).start()
+        q = q2
+
     while True:
         item = q.get()
         if item is SENTINEL:
@@ -215,9 +284,12 @@ def cmd_save_vae_latents(args):
         else:
             files.append(str(p))
 
+    import jax
+
     pending = None  # (device_latents, save_args) — overlap encode with save IO
     for x, base, clip_idx, s, e, fps in _iter_preprocessed_clips(
-        sorted(files), args.clip_length, args.stride, args.height, args.width
+        sorted(files), args.clip_length, args.stride, args.height, args.width,
+        stage=jax.device_put,
     ):
         lat = enc.encode(x, seed=clip_idx, per_channel=args.per_channel_normalize)
         if pending is not None:
@@ -300,7 +372,8 @@ def cmd_save_condition_latents(args):
         for clip_idx, (s, e) in enumerate(
             iter_clips(len(frames), args.clip_length, args.stride)
         ):
-            ref_image = frames[s].resize((args.width, args.height), Image.BICUBIC)
+            ref_image = Image.fromarray(frames[s]).resize(
+                (args.width, args.height), Image.BICUBIC)
             try:
                 bbox = detect_face_bbox(np.asarray(ref_image))
             except (ValueError, RuntimeError) as err:
