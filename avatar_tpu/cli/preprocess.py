@@ -225,16 +225,28 @@ def _iter_preprocessed_clips(files, clip_length, stride, height, width,
     ``stage``: optional second pipeline stage applied to each clip array on
     its own thread — cmd_save_vae_latents passes ``jax.device_put`` so the
     host->device transfer overlaps both the next clip's decode and the
-    current encode (three-stage pipeline: decode | H2D | encode)."""
+    current encode (three-stage pipeline: decode | H2D | encode).
+
+    Decode parallelism: up to 3 producer threads each own whole files
+    (cv2/PIL release the GIL), so multi-video corpora keep the device
+    encode fed even when one video's decode is slower than the encode."""
     import queue
     import threading
 
-    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 2))
     SENTINEL = object()
+    file_q: "queue.Queue" = queue.Queue()
+    for f in files:
+        file_q.put(f)
+    n_producers = max(1, min(3, len(files)))
 
     def producer():
         try:
-            for vid_path in files:
+            while True:
+                try:
+                    vid_path = file_q.get_nowait()
+                except queue.Empty:
+                    return
                 frames, fps = read_video(vid_path)
                 if not frames:
                     continue
@@ -248,26 +260,33 @@ def _iter_preprocessed_clips(files, clip_length, stride, height, width,
         finally:
             q.put(SENTINEL)
 
-    threading.Thread(target=producer, daemon=True).start()
+    for _ in range(n_producers):
+        threading.Thread(target=producer, daemon=True).start()
 
     if stage is not None:
-        q2: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        q2: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 2))
 
         def stager():
-            while True:
+            done = 0
+            while done < n_producers:
                 item = q.get()
                 if item is SENTINEL:
-                    q2.put(SENTINEL)
-                    return
+                    done += 1
+                    continue
                 q2.put((stage(item[0]),) + item[1:])
+            q2.put(SENTINEL)
 
         threading.Thread(target=stager, daemon=True).start()
-        q = q2
+        out_q, n_sentinels = q2, 1
+    else:
+        out_q, n_sentinels = q, n_producers
 
-    while True:
-        item = q.get()
+    done = 0
+    while done < n_sentinels:
+        item = out_q.get()
         if item is SENTINEL:
-            return
+            done += 1
+            continue
         yield item
 
 

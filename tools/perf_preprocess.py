@@ -49,8 +49,13 @@ def main():
     enc = VAEEncoder.from_params(params, cfg)
 
     tmp = tempfile.mkdtemp()
-    vid = os.path.join(tmp, "clip_src.mp4")
-    make_video(vid, CLIP * N_CLIPS)
+    # several files so the multi-producer decode engages (corpus-like input)
+    vids = []
+    for i in range(4):
+        v = os.path.join(tmp, f"clip_src{i}.mp4")
+        make_video(v, CLIP * (N_CLIPS // 4))
+        vids.append(v)
+    vid = vids[0]
 
     # --- device-only: resident clip, forced completion -------------------
     # uint8 input = the production path (device-side normalize, 4x less H2D)
@@ -75,7 +80,7 @@ def main():
     # --- host-only: drain the producer without encoding ------------------
     t0 = time.perf_counter()
     n = 0
-    for item in _iter_preprocessed_clips([vid], CLIP, CLIP, H, W):
+    for item in _iter_preprocessed_clips(vids, CLIP, CLIP, H, W):
         n += 1
     host_s = (time.perf_counter() - t0) / max(n, 1)
     print(f"host decode+prep: {host_s*1e3:.0f} ms/clip "
@@ -87,7 +92,7 @@ def main():
     t0 = time.perf_counter()
     n = 0
     for x2, base, ci, s, e, fps in _iter_preprocessed_clips(
-            [vid], CLIP, CLIP, H, W, stage=jax.device_put):
+            vids, CLIP, CLIP, H, W, stage=jax.device_put):
         last = enc.encode(x2, seed=ci)
         n += 1
     np.asarray(last)
@@ -98,7 +103,9 @@ def main():
           f"{max(host_s, dev_s)/e2e_s:.2f})", flush=True)
     clip_bytes = CLIP * H * W * 3  # uint8 H2D per clip
     print(f"h2d: {clip_bytes/e2e_s/1e9:.2f} GB/s effective "
-          f"({clip_bytes/1e6:.0f} MB/clip)", flush=True)
+          f"({clip_bytes/1e6:.0f} MB/clip); host cores: {os.cpu_count()} "
+          "(decode/resize threads scale with cores — this image has 1, so "
+          "the host side here is its serial floor)", flush=True)
 
 
 if __name__ == "__main__":
