@@ -66,7 +66,8 @@ def preprocess_frames(
 
     ``as_uint8``: skip the host-side normalize and return uint8 — 4x less
     host->device traffic; :class:`VAEEncoder` normalizes on-device inside
-    the jit (bit-equal: (x/255)*2-1 in f32 before the dtype cast)."""
+    the jit (same (x/255)*2-1 f32 math, identical to ULP — XLA may fuse
+    the mul-sub into an FMA)."""
     if not frames:
         raise ValueError("No frames to process")
 
