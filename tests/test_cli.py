@@ -236,15 +236,30 @@ def test_pose_frame_rendering(tmp_path):
     assert len(FLAME_51_STATIC_LANDMARK_INDICES) == 42  # 51 minus nose block
     rng = np.random.default_rng(0)
     vertices = rng.standard_normal((5023, 3)).astype(np.float32) * 0.1
-    out = tmp_path / "frame.png"
-    render_frame(vertices, out, height=64, width=64,
-                 face_bbox=(0.25, 0.25, 0.75, 0.75))
     from PIL import Image
 
-    img = np.asarray(Image.open(out).convert("RGB"))
-    assert img.shape == (64, 64, 3)
-    assert img.max() > 100  # white dots present
-    assert np.median(img) == 0  # black background
+    imgs = {}
+    for renderer in ("cv2", "matplotlib"):
+        out = tmp_path / f"frame_{renderer}.png"
+        render_frame(vertices, out, height=64, width=64,
+                     face_bbox=(0.25, 0.25, 0.75, 0.75), renderer=renderer)
+        img = np.asarray(Image.open(out).convert("RGB"))
+        assert img.shape == (64, 64, 3)
+        assert img.max() > 100  # white dots present
+        assert np.median(img) == 0  # black background
+        imgs[renderer] = img.astype(np.float32).mean(-1)
+
+    # same projection: the dot clouds must coincide (centroid within 1px,
+    # per-pixel difference only at anti-aliased dot edges)
+    def centroid(im):
+        ys, xs = np.nonzero(im > 10)
+        return xs.mean(), ys.mean()
+
+    c_cv, c_mpl = centroid(imgs["cv2"]), centroid(imgs["matplotlib"])
+    assert abs(c_cv[0] - c_mpl[0]) < 1.0 and abs(c_cv[1] - c_mpl[1]) < 1.0
+    lit_cv = (imgs["cv2"] > 10).sum()
+    lit_mpl = (imgs["matplotlib"] > 10).sum()
+    assert 0.5 < lit_cv / lit_mpl < 2.0, (lit_cv, lit_mpl)
 
     # frame-count adjustment: N*8+1 (ref formula ((n-2)//8+1)*8+1), capped
     assert adjust_num_frames(100, None, 20, 30) == 73  # int(100*20/30)=66 -> 73
