@@ -66,11 +66,28 @@ class LTXMultiScalePipeline:
         down_h = int(orig_h * downscale_factor)
         down_h -= down_h % sf
 
+        def sized_kwargs(h, w):
+            # avatar conditioning media must match each pass's generation
+            # size (the in-transformer lerp is per latent pixel) — resize as
+            # the reference does for conditioning items
+            # (pipeline_ltx_video.py:1684-1698 _resize_conditioning_item)
+            kw = dict(kwargs)
+            for name in ("ref_image", "pose_frames"):
+                media = kw.get(name)
+                if media is not None and media.shape[2:4] != (h, w):
+                    b, f = media.shape[:2]
+                    kw[name] = jax.image.resize(
+                        media, (b, f, h, w, media.shape[-1]),
+                        method="bilinear",
+                    ).astype(media.dtype)
+            return kw
+
         k1, k2 = jax.random.split(key)
         p1 = dataclasses.replace(
             params, width=down_w, height=down_h, **(first_pass or {})
         )
-        latents = vp(p1, k1, *args, output_type="latent", **kwargs)
+        latents = vp(p1, k1, *args, output_type="latent",
+                     **sized_kwargs(down_h, down_w))
 
         upsampled = self._upsample(self.upsampler_params, latents)
         upsampled = adain_filter_latent(upsampled, latents)
@@ -81,7 +98,8 @@ class LTXMultiScalePipeline:
         # resize happens in float; quantize after when uint8 was requested
         inner_output = "np" if output_type == "uint8" else output_type
         result = vp(
-            p2, k2, *args, latents=upsampled, output_type=inner_output, **kwargs
+            p2, k2, *args, latents=upsampled, output_type=inner_output,
+            **sized_kwargs(down_h * 2, down_w * 2)
         )
         if output_type == "latent":
             return result

@@ -128,6 +128,10 @@ def test_multiscale_pipeline(rng):
     mask = jnp.ones((1, 4))
     # note: 1 step + SD3 terminal stretch is degenerate (scale factor 0, as
     # in the reference's strech_shifts_to_terminal) -> use 2 steps
+    # avatar media at the TARGET size: each pass must resize it to its own
+    # generation size (the in-transformer lerp is per latent pixel)
+    ref = jax.random.normal(jax.random.PRNGKey(5), (1, 1, 128, 128, 3))
+    pose = jax.random.normal(jax.random.PRNGKey(6), (1, 9, 128, 128, 3))
     out = ms(
         GenerationParams(
             height=128, width=128, num_frames=8, num_inference_steps=2,
@@ -135,6 +139,7 @@ def test_multiscale_pipeline(rng):
             decode_timestep=0.05,
         ),
         jax.random.PRNGKey(4), embeds, mask,
+        ref_image=ref, pose_frames=pose,
         downscale_factor=0.5,
         second_pass={"skip_initial_inference_steps": 0},
         dtype=jnp.float32,

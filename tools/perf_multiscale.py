@@ -1,0 +1,93 @@
+"""Multi-scale (two-pass) generation perf at the reference operating point:
+512x512 target, 97 frames, 40 RF steps per pass, bf16, full-size 2B DiT +
+128-ch VAE + real LatentUpsampler shape (128->512 mid, 4 blocks/stage).
+
+Pass 1 runs at 2/3 downscale (320x320, 1300 tokens), the latent upsampler
+doubles the spatial latent grid, AdaIN matches first-pass statistics, pass 2
+refines at 640x640 (5200 tokens), then bilinear-resizes to 512
+(reference LTXMultiScalePipeline, pipeline_ltx_video.py:1916-1990).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import bench
+from avatar_tpu.models.latent_upsampler import (
+    LatentUpsamplerConfig,
+    init_latent_upsampler,
+)
+from avatar_tpu.pipelines import GenerationParams
+from avatar_tpu.pipelines.multiscale import LTXMultiScalePipeline
+
+
+def main():
+    pipe, _ = bench.build_pipeline()
+    up_cfg = LatentUpsamplerConfig()  # 128ch in, 512 mid, 4 blocks/stage
+    up_params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16),
+        init_latent_upsampler(jax.random.PRNGKey(7), up_cfg),
+    )
+    ms = LTXMultiScalePipeline(pipe, up_cfg, up_params)
+
+    h = w = 512
+    nf = 97
+    params = GenerationParams(
+        height=h, width=w, num_frames=nf - 1, frame_rate=25.0,
+        num_inference_steps=40, guidance_scale=1.0, stg_scale=0.0,
+        rescaling_scale=1.0, decode_timestep=0.05,
+    )
+    embeds, mask, ref, pose = bench.make_inputs(1, h, w, nf)
+
+    def run(seed, output_type="uint8"):
+        out = ms(params, jax.random.PRNGKey(seed), embeds, mask,
+                 ref_image=ref, pose_frames=pose, output_type=output_type)
+        return out
+
+    t0 = time.perf_counter()
+    out = run(5)
+    assert out.shape == (1, nf, h, w, 3) and out.dtype == jnp.uint8
+    float(jnp.sum(out[:, 0, 0, :8].astype(jnp.float32)))
+    print(f"compile+first run: {time.perf_counter()-t0:.0f} s", flush=True)
+
+    ts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        o = run(6 + i)
+        float(jnp.sum(o[:, 0, 0, :8].astype(jnp.float32)))
+        ts.append(time.perf_counter() - t0)
+    e2e = min(ts)
+    print(f"multiscale 512px x {nf}f (two 40-step passes, bf16): "
+          f"{e2e:.2f} s/video, {nf/e2e:.1f} frames/s device-side", flush=True)
+
+    # split: first pass alone at the downscaled size (media resized as the
+    # multiscale wrapper does internally)
+    import dataclasses
+    p1 = dataclasses.replace(params, width=320, height=320)
+    ref1 = jax.image.resize(ref, (1, 1, 320, 320, 3),
+                            method="bilinear").astype(ref.dtype)
+    pose1 = jax.image.resize(pose, (1, nf, 320, 320, 3),
+                             method="bilinear").astype(pose.dtype)
+    lat = pipe(p1, jax.random.PRNGKey(5), embeds, mask, ref_image=ref1,
+               pose_frames=pose1, output_type="latent")
+    float(jnp.sum(lat[..., 0].astype(jnp.float32)))
+    ts = []
+    for i in range(2):
+        t0 = time.perf_counter()
+        lat = pipe(p1, jax.random.PRNGKey(6 + i), embeds, mask,
+                   ref_image=ref1, pose_frames=pose1, output_type="latent")
+        float(jnp.sum(lat[..., 0].astype(jnp.float32)))
+        ts.append(time.perf_counter() - t0)
+    print(f"  pass1 (320px, 1300 tok): {min(ts):.2f} s; remainder = "
+          f"upsample + pass2 (640px, 5200 tok) + decode + resize", flush=True)
+
+
+if __name__ == "__main__":
+    main()
