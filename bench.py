@@ -265,6 +265,20 @@ def main():
 
     fps_rgb = throughput(pipe, params, inputs1, 1, num_frames,
                          output_type="uint8")
+
+    # single-video latency, device-side (forced completion; excludes the
+    # axon tunnel's D2H fetch, which fluctuates >10x between sessions)
+    def one_video(seed):
+        out = run_batch(pipe, params, inputs1, seed)
+        return float(jnp.sum(out[:, 0, 0, :8].astype(jnp.float32)))
+
+    one_video(5)
+    lat_ts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        one_video(6 + i)
+        lat_ts.append(time.perf_counter() - t0)
+    latency_device_s = min(lat_ts)
     # e2e including one T5 encode per video (unique prompt per video —
     # repeated prompts amortize the encode to ~0)
     e2e_t5_fps = num_frames / (num_frames / fps + t5_s) if fps else None
@@ -273,6 +287,7 @@ def main():
         "e2e_with_t5_fps": round(e2e_t5_fps, 2) if e2e_t5_fps else None,
         "output_format": "yuv420 (I420 planes, cv2-parity tested)",
         "rgb_uint8_fps": round(fps_rgb, 2),
+        "single_video_latency_device_s": round(latency_device_s, 3),
         "dit_step_ms": round(step_s * 1e3, 2),
         "dit_step_tflop": round(step_flops / 1e12, 2) if step_flops else None,
         "dit_mfu_vs_v5e_bf16_peak": round(mfu, 3) if mfu else None,
