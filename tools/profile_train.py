@@ -15,6 +15,7 @@ from avatar_tpu.core.config import TrainConfig
 import argparse
 _ap = argparse.ArgumentParser()
 _ap.add_argument("--rope-split", action="store_true")
+_ap.add_argument("--batch", type=int, default=8)
 _ap.add_argument("logdir", nargs="?", default="/tmp/xprof_train")
 _args = _ap.parse_args()
 from avatar_tpu.models.dit import DiTConfig, init_dit
@@ -37,7 +38,7 @@ if _args.rope_split:
     params = permute_dit_params_for_split_rope(params, dit_cfg)
 step = make_train_step(dit_cfg, cfg, opt, rope_split=_args.rope_split)
 
-b, f, h, w, c = 8, 8, 6, 10, 128
+b, f, h, w, c = _args.batch, 8, 6, 10, 128
 batch = {
     "latents": jax.random.normal(jax.random.PRNGKey(2), (1, b, f, h, w, c),
                                  jnp.bfloat16),
