@@ -620,42 +620,13 @@ def dit_apply(
     ``encoder_hidden_states`` is ignored by the blocks (the caption
     projection and k/v projections already happened once per run).
     """
-    b, n, _ = hidden_states.shape
-    inner = cfg.inner_dim
-    dtype = hidden_states.dtype
-
-    x = linear(params["patchify_proj"], hidden_states)
-
-    t = timestep * cfg.timestep_scale_multiplier
-    if freqs_cis is None:
-        # callers in step loops should precompute once (loop-invariant)
-        freqs_cis = precompute_freqs_cis(
-            indices_grid, dim=inner,
-            theta=cfg.positional_embedding_theta,
-            max_pos=cfg.positional_embedding_max_pos,
-            out_dtype=dtype,
+    x, freqs_cis, ada_timestep, embedded_timestep, encoder_hidden_states = (
+        _dit_prologue(
+            params, cfg, hidden_states, indices_grid, timestep,
+            encoder_hidden_states, freqs_cis=freqs_cis, rope_split=rope_split,
+            cross_kv_given=cross_kv is not None,
         )
-        if rope_split:
-            freqs_cis = split_freqs(freqs_cis)
-
-    # AdaLayerNormSingle: shared embedding + linear to n_ada * inner.
-    embedded_timestep = timestep_embedder(
-        params["adaln_single"]["emb"], t.reshape(-1), dtype=dtype
-    )  # [B*T, inner]
-    ada_timestep = linear(
-        params["adaln_single"]["linear"], jax.nn.silu(embedded_timestep)
     )
-    ada_timestep = ada_timestep.reshape(b, -1, ada_timestep.shape[-1])
-    embedded_timestep = embedded_timestep.reshape(b, -1, inner)
-
-    if cross_kv is not None:
-        encoder_hidden_states = None
-    elif encoder_hidden_states is not None and "caption_projection" in params:
-        cap = params["caption_projection"]
-        eh = linear(cap["linear_1"], encoder_hidden_states.astype(dtype))
-        eh = jax.nn.gelu(eh, approximate=True)
-        eh = linear(cap["linear_2"], eh)
-        encoder_hidden_states = eh.reshape(b, -1, inner)
 
     for i, block in enumerate(params["blocks"]):
         slm = None if skip_layer_mask is None else skip_layer_mask[i]
@@ -689,7 +660,71 @@ def dit_apply(
             fn = run
         x = fn(block, x)
 
-    # Output modulation + projection (transformer3d.py:553-561).
+    return _dit_epilogue(params, x, embedded_timestep)
+
+
+def _dit_prologue(
+    params: dict,
+    cfg: DiTConfig,
+    hidden_states: jnp.ndarray,
+    indices_grid: jnp.ndarray,
+    timestep: jnp.ndarray,
+    encoder_hidden_states: Optional[jnp.ndarray],
+    *,
+    freqs_cis=None,
+    rope_split: bool = False,
+    cross_kv_given: bool = False,
+):
+    """Everything before the transformer blocks: token projection, RoPE
+    frequencies, AdaLN-single timestep embedding, caption projection
+    (transformer3d.py:470-499).  Shared by :func:`dit_apply` and the
+    pipeline-parallel schedule (parallel/pipeline.py), whose stages only run
+    blocks."""
+    b = hidden_states.shape[0]
+    inner = cfg.inner_dim
+    dtype = hidden_states.dtype
+
+    x = linear(params["patchify_proj"], hidden_states)
+
+    t = timestep * cfg.timestep_scale_multiplier
+    if freqs_cis is None:
+        # callers in step loops should precompute once (loop-invariant)
+        freqs_cis = precompute_freqs_cis(
+            indices_grid, dim=inner,
+            theta=cfg.positional_embedding_theta,
+            max_pos=cfg.positional_embedding_max_pos,
+            out_dtype=dtype,
+        )
+        if rope_split:
+            freqs_cis = split_freqs(freqs_cis)
+
+    # AdaLayerNormSingle: shared embedding + linear to n_ada * inner.
+    embedded_timestep = timestep_embedder(
+        params["adaln_single"]["emb"], t.reshape(-1), dtype=dtype
+    )  # [B*T, inner]
+    ada_timestep = linear(
+        params["adaln_single"]["linear"], jax.nn.silu(embedded_timestep)
+    )
+    ada_timestep = ada_timestep.reshape(b, -1, ada_timestep.shape[-1])
+    embedded_timestep = embedded_timestep.reshape(b, -1, inner)
+
+    if cross_kv_given:
+        encoder_hidden_states = None
+    elif encoder_hidden_states is not None and "caption_projection" in params:
+        cap = params["caption_projection"]
+        eh = linear(cap["linear_1"], encoder_hidden_states.astype(dtype))
+        eh = jax.nn.gelu(eh, approximate=True)
+        eh = linear(cap["linear_2"], eh)
+        encoder_hidden_states = eh.reshape(b, -1, inner)
+
+    return x, freqs_cis, ada_timestep, embedded_timestep, encoder_hidden_states
+
+
+def _dit_epilogue(
+    params: dict, x: jnp.ndarray, embedded_timestep: jnp.ndarray
+) -> jnp.ndarray:
+    """Output modulation + projection (transformer3d.py:553-561)."""
+    dtype = x.dtype
     scale_shift = params["scale_shift_table"][None, None].astype(dtype) + (
         embedded_timestep[:, :, None]
     )

@@ -8,6 +8,13 @@ from avatar_tpu.parallel.distributed import (
     shard_pytree_global,
     sync_processes,
 )
+from avatar_tpu.parallel.pipeline import (
+    dit_apply_pp,
+    make_pp_mesh,
+    pp_param_sharding,
+    stack_block_params,
+    unstack_block_params,
+)
 from avatar_tpu.parallel.mesh import (
     dit_param_sharding,
     make_mesh,
@@ -34,4 +41,9 @@ __all__ = [
     "shard_pytree_global",
     "gather_to_host",
     "sync_processes",
+    "dit_apply_pp",
+    "make_pp_mesh",
+    "pp_param_sharding",
+    "stack_block_params",
+    "unstack_block_params",
 ]
