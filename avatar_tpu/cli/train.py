@@ -106,33 +106,94 @@ def train_loop(config, resume: bool = True):
         dit_params = permute_dit_params_for_split_rope(dit_params, dit_cfg)
 
     # -- mesh + sharding --
-    mesh = make_mesh(data=config.mesh_data, fsdp=config.mesh_fsdp)
-    p_shard = param_sharding(mesh, dit_params, mode=config.sharding_mode)
-    dit_params = shard_pytree_global(dit_params, p_shard)
+    pp_mesh = None
+    if config.sharding_mode == "pp":
+        # GPipe pipeline parallelism: blocks stacked [L, ...] and
+        # stage-sharded over 'pp'; remaining devices form a 'data' axis
+        # (parallel/pipeline.py). lora_audio only.
+        from avatar_tpu.parallel.pipeline import (
+            make_pp_mesh, pp_param_sharding, stack_block_params,
+        )
 
-    trainable = init_trainable(jax.random.PRNGKey(config.seed), dit_params,
-                               dit_cfg, config)
-    t_shard = param_sharding(mesh, trainable, mode=config.sharding_mode)
-    trainable = shard_pytree_global(trainable, t_shard)
+        if config.train_mode != "lora_audio":
+            raise ValueError("sharding_mode=pp supports train_mode "
+                             "lora_audio only")
+        n_dev = len(jax.devices())
+        if n_dev % config.pp_stages or config.pp_stages < 2:
+            raise ValueError(
+                f"pp_stages={config.pp_stages} must be >=2 and divide the "
+                f"{n_dev} devices"
+            )
+        mesh = make_pp_mesh(
+            pp=config.pp_stages, data=n_dev // config.pp_stages
+        )
+        pp_mesh = mesh
+        dit_params = dict(
+            dit_params, blocks=stack_block_params(dit_params["blocks"])
+        )
+        p_shard = pp_param_sharding(mesh, dit_params)
+        dit_params = shard_pytree_global(dit_params, p_shard)
 
-    optimizer = make_optimizer(config)
-    opt_state = optimizer.init(trainable)
-    o_shard = None
-    if config.sharding_mode in ("zero2", "fsdp"):
-        # ZeRO-2: params replicated but optimizer moments sharded over 'fsdp'
-        # (fsdp mode shards them consistently with the params).
-        from avatar_tpu.parallel import opt_state_sharding
+        trainable = init_trainable(
+            jax.random.PRNGKey(config.seed), dit_params, dit_cfg, config
+        )
+        trainable["lora"] = dict(
+            trainable["lora"],
+            blocks=stack_block_params(trainable["lora"]["blocks"]),
+        )
+        t_shard = {
+            "lora": pp_param_sharding(mesh, trainable["lora"]),
+            "caption_projection": jax.tree.map(
+                lambda _: jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec()
+                ),
+                trainable["caption_projection"],
+            ),
+        }
+        trainable = shard_pytree_global(trainable, t_shard)
 
-        o_shard = opt_state_sharding(
-            mesh, opt_state, t_shard, mode=config.sharding_mode
+        optimizer = make_optimizer(config)
+        # moments (zeros_like) inherit the stage sharding from the placed
+        # trainable; scalars optax creates fresh (e.g. count) come back
+        # single-device — pin those replicated on the mesh
+        opt_state = optimizer.init(trainable)
+        rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        o_shard = jax.tree.map(
+            lambda x: x.sharding
+            if isinstance(getattr(x, "sharding", None),
+                          jax.sharding.NamedSharding) else rep,
+            opt_state,
         )
         opt_state = shard_pytree_global(opt_state, o_shard)
+    else:
+        mesh = make_mesh(data=config.mesh_data, fsdp=config.mesh_fsdp)
+        p_shard = param_sharding(mesh, dit_params, mode=config.sharding_mode)
+        dit_params = shard_pytree_global(dit_params, p_shard)
+
+        trainable = init_trainable(jax.random.PRNGKey(config.seed), dit_params,
+                                   dit_cfg, config)
+        t_shard = param_sharding(mesh, trainable, mode=config.sharding_mode)
+        trainable = shard_pytree_global(trainable, t_shard)
+
+        optimizer = make_optimizer(config)
+        opt_state = optimizer.init(trainable)
+        o_shard = None
+        if config.sharding_mode in ("zero2", "fsdp"):
+            # ZeRO-2: params replicated but optimizer moments sharded over
+            # 'fsdp' (fsdp mode shards them consistently with the params).
+            from avatar_tpu.parallel import opt_state_sharding
+
+            o_shard = opt_state_sharding(
+                mesh, opt_state, t_shard, mode=config.sharding_mode
+            )
+            opt_state = shard_pytree_global(opt_state, o_shard)
     step_fn = make_train_step(
         dit_cfg, config, optimizer,
         trainable_sharding=t_shard, opt_state_sharding=o_shard,
-        rope_split=rope_split,
+        rope_split=rope_split, pp_mesh=pp_mesh,
     )
-    val_fn = validate_step_fn(dit_cfg, config, rope_split=rope_split)
+    val_fn = validate_step_fn(dit_cfg, config, rope_split=rope_split,
+                              pp_mesh=pp_mesh)
 
     # -- data --
     dataset = LatentPairDataset(
@@ -185,12 +246,13 @@ def train_loop(config, resume: bool = True):
                           "extra": {"epoch": 0}}
             )
             # orbax restores onto default devices; re-place on the mesh
-            from avatar_tpu.parallel import opt_state_sharding
-
             trainable = shard_pytree_global(restored["trainable"], t_shard)
-            o_shard = opt_state_sharding(
-                mesh, opt_state, t_shard, mode=config.sharding_mode
-            )
+            if config.sharding_mode != "pp":
+                from avatar_tpu.parallel import opt_state_sharding
+
+                o_shard = opt_state_sharding(
+                    mesh, opt_state, t_shard, mode=config.sharding_mode
+                )
             opt_state = shard_pytree_global(restored["opt_state"], o_shard)
             global_step = step
             start_epoch = int(restored.get("extra", {}).get("epoch", 0))
@@ -216,11 +278,14 @@ def train_loop(config, resume: bool = True):
     except ValueError:
         pass  # not the main thread (e.g. under a test harness)
 
-    # batch arrays are [accum, micro_b, ...]: shard micro_b over (data, fsdp)
-    n_batch_shards = mesh.shape["data"] * mesh.shape["fsdp"]
+    # batch arrays are [accum, micro_b, ...]: shard micro_b over the batch
+    # axes of the mesh (data+fsdp; just 'data' under pipeline parallelism)
+    batch_axes = tuple(a for a in ("data", "fsdp") if mesh.shape.get(a, 1) > 1)
+    batch_axes = batch_axes or ("data",)
+    n_batch_shards = int(np.prod([mesh.shape.get(a, 1) for a in batch_axes]))
     if config.batch_size % n_batch_shards == 0:
         batch_sharding = jax.sharding.NamedSharding(
-            mesh, jax.sharding.PartitionSpec(None, ("data", "fsdp"))
+            mesh, jax.sharding.PartitionSpec(None, batch_axes)
         )
     else:
         if n_proc > 1:
@@ -313,7 +378,7 @@ def train_loop(config, resume: bool = True):
             if val_dataset is not None:
                 val_sharding = jax.sharding.NamedSharding(
                     mesh,
-                    jax.sharding.PartitionSpec(("data", "fsdp"))
+                    jax.sharding.PartitionSpec(batch_axes)
                     if config.batch_size % n_batch_shards == 0
                     else jax.sharding.PartitionSpec(),
                 )
@@ -358,6 +423,25 @@ def train_loop(config, resume: bool = True):
                     host_trainable = gather_to_host(trainable)
                 else:
                     host_params, host_trainable = dit_params, trainable
+                if config.sharding_mode == "pp":
+                    # exports are canonical per-block lists, not stacked
+                    from avatar_tpu.parallel.pipeline import (
+                        unstack_block_params,
+                    )
+
+                    host_params = dict(
+                        host_params,
+                        blocks=unstack_block_params(host_params["blocks"]),
+                    )
+                    host_trainable = dict(
+                        host_trainable,
+                        lora=dict(
+                            host_trainable["lora"],
+                            blocks=unstack_block_params(
+                                host_trainable["lora"]["blocks"]
+                            ),
+                        ),
+                    )
                 if main_proc:
                     path = export_training_checkpoint(
                         Path(config.output_dir)

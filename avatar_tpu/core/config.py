@@ -61,9 +61,15 @@ class TrainConfig:
     #   "dp"    — pure data parallel (params replicated)
     #   "zero2" — params replicated, optimizer state sharded over 'fsdp'
     #   "fsdp"  — params + optimizer state sharded over 'fsdp' (ZeRO-3 parity)
+    #   "pp"    — GPipe pipeline parallelism: transformer blocks stacked and
+    #             stage-sharded over a 'pp' axis, microbatches streamed via
+    #             ppermute (parallel/pipeline.py); composes with 'data'.
+    #             lora_audio mode only; pp_stages must divide num_layers.
     sharding_mode: str = "dp"
     mesh_data: int = -1  # -1: all devices on the data axis
     mesh_fsdp: int = 1
+    pp_stages: int = 1  # pipeline stages when sharding_mode == "pp"
+    pp_microbatches: int = 0  # 0: auto (min(batch, stages))
 
     # RF scheduler params
     rf_num_train_timesteps: int = 1000
@@ -148,6 +154,8 @@ def load_train_config_from_yaml(yaml_path: str) -> TrainConfig:
         sharding_mode=sharding_mode,
         mesh_data=int(t.get("mesh_data", -1)),
         mesh_fsdp=int(t.get("mesh_fsdp", 1)),
+        pp_stages=int(t.get("pp_stages", 1)),
+        pp_microbatches=int(t.get("pp_microbatches", 0)),
         rf_sampler=t.get("rf_sampler", rf_sampler),
         rf_num_train_timesteps=int(t.get("rf_num_train_timesteps", 1000)),
         rf_shift=opt_float("rf_shift"),

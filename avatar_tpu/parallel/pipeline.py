@@ -119,6 +119,10 @@ def dit_apply_pp(
     m = num_microbatches or min(b, stages)
     assert b % m == 0, f"batch {b} not divisible by microbatches {m}"
     b_m = b // m
+    if data_axis is not None and b_m % mesh.shape[data_axis] != 0:
+        # tiny batches can't also shard over data — replicate them (the
+        # pipeline still stage-parallelizes the blocks)
+        data_axis = None
 
     lora_blocks = None if lora is None else lora["blocks"]
     if lora_blocks is not None:

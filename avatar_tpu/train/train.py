@@ -157,6 +157,7 @@ def velocity_loss(
     attention_impl: str = "auto",
     remat=False,  # False | "full" | "dots"
     rope_split: bool = False,
+    pp_mesh=None,  # GPipe: blocks stacked + stage-sharded (sharding_mode "pp")
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """training.py:94-166 as a pure function over (trainable, batch).
 
@@ -220,11 +221,28 @@ def velocity_loss(
         ).astype(model_dtype)
         mask = jnp.broadcast_to(prompt_mask, (b,) + prompt_mask.shape[1:])
 
-    out = dit_apply(
-        params, dit_cfg, cond, coords, t.astype(model_dtype), embeds, mask,
-        attention_impl=attention_impl, lora=lora, lora_scale=scale,
-        remat=remat, rope_split=rope_split,
-    )
+    if pp_mesh is not None:
+        # Pipeline-parallel denoiser: params["blocks"] / lora["blocks"] are
+        # stacked [L, ...] and stage-sharded over 'pp'; microbatches stream
+        # through the stages (parallel/pipeline.py). lora_audio only — the
+        # "full" trainable split assumes per-block lists.
+        assert train_mode == "lora_audio", "sharding_mode=pp needs lora_audio"
+        from avatar_tpu.parallel.pipeline import dit_apply_pp
+
+        out = dit_apply_pp(
+            params, dit_cfg, cond, coords, t.astype(model_dtype), embeds,
+            mask, mesh=pp_mesh,
+            num_microbatches=cfg.pp_microbatches or None,
+            data_axis="data" if pp_mesh.shape.get("data", 1) > 1 else None,
+            attention_impl=attention_impl, lora=lora, lora_scale=scale,
+            remat=remat, rope_split=rope_split,
+        )
+    else:
+        out = dit_apply(
+            params, dit_cfg, cond, coords, t.astype(model_dtype), embeds,
+            mask, attention_impl=attention_impl, lora=lora, lora_scale=scale,
+            remat=remat, rope_split=rope_split,
+        )
 
     out = out.astype(jnp.float32)
     std_target = jnp.std(v_target, ddof=1)
@@ -281,6 +299,7 @@ def make_train_step(
     trainable_sharding=None,
     opt_state_sharding=None,
     rope_split: bool = False,
+    pp_mesh=None,
 ) -> Callable:
     """Build the jitted macro-batch step.
 
@@ -309,7 +328,7 @@ def make_train_step(
                 batch=micro, prompt_embeds=prompt_embeds,
                 prompt_mask=prompt_mask, key=k,
                 train_mode=cfg.train_mode, attention_impl=attention_impl,
-                remat=remat, rope_split=rope_split,
+                remat=remat, rope_split=rope_split, pp_mesh=pp_mesh,
             )
             (loss, metrics), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
@@ -349,6 +368,7 @@ def make_train_step(
 def validate_step_fn(
     dit_cfg: DiTConfig, cfg: TrainConfig, attention_impl: str = "auto",
     rope_split: bool = False,
+    pp_mesh=None,
 ) -> Callable:
     """validation.py:14-95: same noising/velocity MSE without gradients."""
 
@@ -358,7 +378,7 @@ def validate_step_fn(
             trainable, dit_params, dit_cfg, cfg, batch,
             prompt_embeds, prompt_mask, key,
             train_mode=cfg.train_mode, attention_impl=attention_impl,
-            rope_split=rope_split,
+            rope_split=rope_split, pp_mesh=pp_mesh,
         )
         return metrics
 

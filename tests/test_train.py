@@ -506,3 +506,76 @@ def test_optimizer_options():
 
     with pytest.raises(ValueError):
         make_optimizer(_cfg(optimizer="sgd"))
+
+
+def test_pp_train_step_matches_dp():
+    """sharding_mode=pp: the pipeline-parallel LoRA train step (blocks
+    stage-sharded over 'pp', microbatched ppermute schedule) must produce
+    the same loss and the same updated LoRA params as the unsharded step."""
+    from avatar_tpu.parallel.pipeline import (
+        make_pp_mesh, pp_param_sharding, stack_block_params,
+    )
+
+    assert jax.device_count() == 8
+    cfg_pp = _cfg(sharding_mode="pp", pp_stages=2, pp_microbatches=2)
+    params = init_dit(jax.random.PRNGKey(0), DIT)
+    opt = make_optimizer(cfg_pp)
+    embeds, mask = _prompt()
+    batch = _batch(b=8)  # 2 microbatches of 4, each sharded over data=4
+    key = jax.random.PRNGKey(6)
+
+    # unsharded (dp) baseline. copy=True: the f32 params alias the f32
+    # trainable caption_projection (astype no-op) and the step donates its
+    # trainable — without the copy, donation would delete params' leaves.
+    tr_dp = jax.tree.map(
+        lambda x: jnp.array(x, copy=True),
+        init_trainable(jax.random.PRNGKey(1), params, DIT, _cfg()),
+    )
+    step_dp = make_train_step(DIT, _cfg(), opt, attention_impl="xla")
+    t_dp, _, m_dp = step_dp(
+        tr_dp, opt.init(tr_dp), params, batch, embeds, mask, key
+    )
+
+    # pipeline-parallel over pp=2 x data=4
+    mesh = make_pp_mesh(pp=2, data=4)
+    pp_params = dict(params, blocks=stack_block_params(params["blocks"]))
+    pp_params = jax.tree.map(
+        jax.device_put, pp_params, pp_param_sharding(mesh, pp_params)
+    )
+    tr = jax.tree.map(
+        lambda x: jnp.array(x, copy=True),
+        init_trainable(jax.random.PRNGKey(1), params, DIT, cfg_pp),
+    )
+    tr = {
+        "lora": dict(
+            tr["lora"], blocks=stack_block_params(tr["lora"]["blocks"])
+        ),
+        "caption_projection": tr["caption_projection"],
+    }
+    tr["lora"] = jax.tree.map(
+        jax.device_put, tr["lora"], pp_param_sharding(mesh, tr["lora"])
+    )
+    bs = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, "data")
+    )
+    batch_pp = {k: jax.device_put(v, bs) for k, v in batch.items()}
+    step_pp = make_train_step(
+        DIT, cfg_pp, opt, attention_impl="xla", pp_mesh=mesh
+    )
+    t_pp, o_pp, m_pp = step_pp(
+        tr, opt.init(tr), pp_params, batch_pp, embeds, mask, key
+    )
+
+    assert abs(float(m_pp["loss"]) - float(m_dp["loss"])) < 1e-5
+    # updated LoRA params match the unsharded step's (stacked for compare)
+    want = stack_block_params(t_dp["lora"]["blocks"])
+    got = t_pp["lora"]["blocks"]
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-4
+        ),
+        want, got,
+    )
+    # stage sharding survives the update
+    lead = jax.tree.leaves(t_pp["lora"]["blocks"])[0]
+    assert "pp" in str(lead.sharding.spec)
