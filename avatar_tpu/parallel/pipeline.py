@@ -93,16 +93,23 @@ def dit_apply_pp(
     remat=False,
     freqs_cis=None,
     rope_split: bool = False,
+    skip_layer_mask: Optional[jnp.ndarray] = None,  # [num_layers, B]
+    skip_layer_strategy=None,
+    cross_kv=None,  # per-block [(k, v), ...] or stacked (k[L,...], v[L,...])
 ) -> jnp.ndarray:
     """Pipeline-parallel ``dit_apply``: blocks stage-sharded over ``axis``,
     microbatches streamed GPipe-style.  Returns [B, N, out_channels],
     replicated over 'pp' (batch stays sharded over ``data_axis`` if given).
 
     Requirements: cfg.num_layers % pp == 0, B % num_microbatches == 0 (and
-    the per-microbatch batch divisible by the data axis).  STG skip masks
-    and hoisted cross-kv are not plumbed through the schedule (inference
-    serves those paths unsharded or via SP; PP targets training / deep
-    variants).
+    the per-microbatch batch divisible by the data axis).
+
+    STG ``skip_layer_mask`` ([num_layers, B], reference
+    transformer3d.py:187-219) and hoisted ``cross_kv`` (per-block (k, v)
+    from :func:`~avatar_tpu.models.dit.precompute_cross_attention_kv`)
+    ride the same stage sharding as the blocks: their leading layer axis
+    shards over ``axis`` and the batch axis is microbatched, so the full
+    CFG+STG inference path runs pipeline-parallel.
     """
     from avatar_tpu.models.dit import _block_apply, _dit_epilogue, _dit_prologue
 
@@ -128,24 +135,45 @@ def dit_apply_pp(
     if lora_blocks is not None:
         assert not isinstance(lora_blocks, list), "stack lora['blocks'] too"
 
+    ckv = None
+    if cross_kv is not None:
+        if isinstance(cross_kv[0], (tuple, list)):  # per-block sequence
+            ckv = (
+                jnp.stack([kv[0] for kv in cross_kv]),
+                jnp.stack([kv[1] for kv in cross_kv]),
+            )
+        else:  # already stacked (k[L, B, Lk, C], v[L, B, Lk, C])
+            ckv = (cross_kv[0], cross_kv[1])
+        assert ckv[0].shape[0] == num_layers, (ckv[0].shape, num_layers)
+
     x, freqs_cis, ada_t, embedded_t, enc = _dit_prologue(
         params, cfg, hidden_states, indices_grid, timestep,
         encoder_hidden_states, freqs_cis=freqs_cis, rope_split=rope_split,
+        cross_kv_given=ckv is not None,
     )
 
     def mb(t):  # [B, ...] -> [M, B/M, ...]
         return None if t is None else t.reshape(m, b_m, *t.shape[1:])
+
+    def mb_layer(t):  # [L, B, ...] -> [L, M, B/M, ...]
+        return None if t is None else t.reshape(
+            t.shape[0], m, b_m, *t.shape[2:]
+        )
 
     x_mb = mb(x)
     cos_mb, sin_mb = mb(freqs_cis[0]), mb(freqs_cis[1])
     ada_mb = mb(ada_t)
     enc_mb = mb(enc)
     mask_mb = mb(
-        encoder_attention_mask if enc is not None else None
+        encoder_attention_mask
+        if (enc is not None or ckv is not None) else None
     )
+    slm_mb = mb_layer(skip_layer_mask)
+    ckv_mb = None if ckv is None else jax.tree.map(mb_layer, ckv)
 
     dspec = data_axis  # batch axis of each microbatch
     act_spec = P(None, dspec)
+    layer_spec = P(axis, None, dspec)  # [L over pp, M, b_m, ...]
     in_specs = (
         P(axis),        # blocks (prefix: leading block axis over pp)
         P(axis),        # lora blocks (or None — no leaves)
@@ -155,6 +183,8 @@ def dit_apply_pp(
         act_spec,       # ada_mb
         act_spec,       # enc_mb (or None)
         act_spec,       # mask_mb (or None)
+        layer_spec,     # slm_mb (or None)
+        layer_spec,     # ckv_mb (or None)
     )
 
     checkpoint_policy = None
@@ -167,35 +197,43 @@ def dit_apply_pp(
         shard_map, mesh=mesh, in_specs=in_specs, out_specs=act_spec,
         check_vma=False,
     )
-    def pipeline(blk, lra, xs, cos, sin, ada, eh, eam):
+    def pipeline(blk, lra, xs, cos, sin, ada, eh, eam, slm, ckv_l):
         sid = jax.lax.axis_index(axis)
         is_first = sid == 0
         is_last = sid == stages - 1
 
         def stage(x_in, mb_idx):
-            take = lambda t: (
+            take = lambda t, ax=0: (
                 None if t is None
-                else jax.lax.dynamic_index_in_dim(t, mb_idx, 0, keepdims=False)
+                else jax.lax.dynamic_index_in_dim(t, mb_idx, ax, keepdims=False)
             )
             fc = (take(cos), take(sin))
             ad, e, am = take(ada), take(eh), take(eam)
+            # layer-stacked operands: microbatch axis is 1 (0 is the local
+            # block axis the scan consumes)
+            sl = take(slm, 1)  # [L_local, b_m] or None
+            kv = (
+                None if ckv_l is None
+                else jax.tree.map(lambda t: take(t, 1), ckv_l)
+            )
 
-            def body(xx, bp_lp):
-                bp, lp = bp_lp
+            def body(xx, per_block):
+                bp, lp, sl_i, kv_i = per_block
 
                 def run(bp, xx):
                     return _block_apply(
-                        bp, xx, cfg, fc, ad, e, am, None, None,
+                        bp, xx, cfg, fc, ad, e, am, sl_i,
+                        skip_layer_strategy,
                         attention_impl=attention_impl,
                         lora=lp, lora_scale=lora_scale,
-                        rope_split=rope_split,
+                        rope_split=rope_split, cross_kv=kv_i,
                     )
 
                 if remat:
                     run = jax.checkpoint(run, policy=checkpoint_policy)
                 return run(bp, xx), None
 
-            out, _ = jax.lax.scan(body, x_in, (blk, lra))
+            out, _ = jax.lax.scan(body, x_in, (blk, lra, sl, kv))
             return out
 
         def tick(carry, t):
@@ -226,6 +264,6 @@ def dit_apply_pp(
         return jax.lax.psum(outs, axis)
 
     out = pipeline(blocks, lora_blocks, x_mb, cos_mb, sin_mb, ada_mb,
-                   enc_mb, mask_mb)
+                   enc_mb, mask_mb, slm_mb, ckv_mb)
     out = out.reshape(b, *out.shape[2:])
     return _dit_epilogue(params, out, embedded_t)

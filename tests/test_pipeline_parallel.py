@@ -132,6 +132,88 @@ def test_pp_gradients_match_unsharded():
         )
 
 
+@pytest.mark.parametrize(
+    "strategy", ["TransformerBlock", "AttentionValues"]
+)
+def test_pp_skip_layer_mask_matches_unsharded(strategy):
+    """STG skip masks ride the stage sharding: the per-layer mask's leading
+    axis shards over 'pp' like the blocks (VERDICT r2: previously asserted
+    out of the schedule)."""
+    from avatar_tpu.models.dit import SkipLayerStrategy, create_skip_layer_mask
+
+    mesh = make_pp_mesh(pp=4, data=1, devices=jax.devices()[:4])
+    params = init_dit(jax.random.PRNGKey(0), CFG)
+    tokens, grid, t, text, mask = _inputs()
+    # batch of 4 = 2 samples x 2 conds, perturb cond index 1, skip blocks 1,2
+    slm = create_skip_layer_mask(
+        CFG.num_layers, 2, 2, 1, skip_block_list=[1, 2]
+    )
+    strat = getattr(SkipLayerStrategy, strategy)
+
+    base = dit_apply(params, CFG, tokens, grid, t, text, mask,
+                     skip_layer_mask=slm, skip_layer_strategy=strat,
+                     attention_impl="xla")
+    base_noskip = dit_apply(params, CFG, tokens, grid, t, text, mask,
+                            attention_impl="xla")
+    assert float(jnp.max(jnp.abs(base - base_noskip))) > 1e-6
+
+    pp_params = dict(params, blocks=stack_block_params(params["blocks"]))
+    out = jax.jit(
+        lambda p, x, s: dit_apply_pp(
+            p, CFG, x, grid, t, text, mask, mesh=mesh,
+            num_microbatches=2, attention_impl="xla",
+            skip_layer_mask=s, skip_layer_strategy=strat,
+        )
+    )(pp_params, tokens, slm)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=2e-5)
+
+
+def test_pp_hoisted_cross_kv_matches_unsharded():
+    """Hoisted cross-attention k/v (the 40-step-loop-invariant optimization)
+    flows through the pipeline schedule stage-sharded over its layer axis."""
+    from avatar_tpu.models.dit import precompute_cross_attention_kv
+
+    mesh = make_pp_mesh(pp=2, data=2, devices=jax.devices()[:4])
+    params = init_dit(jax.random.PRNGKey(0), CFG)
+    tokens, grid, t, text, mask = _inputs()
+
+    cross_kv, _ = precompute_cross_attention_kv(params, CFG, text)
+    base = dit_apply(params, CFG, tokens, grid, t, None, mask,
+                     cross_kv=cross_kv, attention_impl="xla")
+    # sanity: matches the unhoisted forward too
+    base_unhoisted = dit_apply(params, CFG, tokens, grid, t, text, mask,
+                               attention_impl="xla")
+    np.testing.assert_allclose(
+        np.asarray(base), np.asarray(base_unhoisted), atol=2e-5
+    )
+
+    pp_params = dict(params, blocks=stack_block_params(params["blocks"]))
+    out_seq = jax.jit(
+        lambda p, x: dit_apply_pp(
+            p, CFG, x, grid, t, None, mask, mesh=mesh,
+            num_microbatches=2, data_axis="data", attention_impl="xla",
+            cross_kv=cross_kv,
+        )
+    )(pp_params, tokens)
+    np.testing.assert_allclose(np.asarray(out_seq), np.asarray(base),
+                               atol=2e-5)
+
+    # pre-stacked form (what a pipeline hoists once per run)
+    stacked = (
+        jnp.stack([kv[0] for kv in cross_kv]),
+        jnp.stack([kv[1] for kv in cross_kv]),
+    )
+    out_stacked = jax.jit(
+        lambda p, x, ck: dit_apply_pp(
+            p, CFG, x, grid, t, None, mask, mesh=mesh,
+            num_microbatches=2, data_axis="data", attention_impl="xla",
+            cross_kv=ck,
+        )
+    )(pp_params, tokens, stacked)
+    np.testing.assert_allclose(np.asarray(out_stacked), np.asarray(base),
+                               atol=2e-5)
+
+
 def test_pp_with_stacked_lora():
     from avatar_tpu.train.lora import init_lora
 
