@@ -855,6 +855,14 @@ def precompute_cross_attention_kv(
 
     Returns (cross_kv list of per-block token-major (k, v) [B, L, inner],
     projected_context [B, L, inner]).
+
+    When ``params["blocks"]`` is a STACKED pytree (leading [L, ...] block
+    axis, :func:`~avatar_tpu.parallel.pipeline.stack_block_params` — the
+    pipeline-parallel layout), the projections run under ``jax.vmap`` over
+    the block axis and the return is the stacked pair
+    ``(k [L, B, Lk, inner], v [L, B, Lk, inner])`` — already in the form
+    :func:`~avatar_tpu.parallel.pipeline.dit_apply_pp` stage-shards, with
+    no unstacked copy of the blocks ever materialized.
     """
     b = encoder_hidden_states.shape[0]
     if dtype is not None:
@@ -866,6 +874,28 @@ def precompute_cross_attention_kv(
         eh = jax.nn.gelu(eh, approximate=True)
         eh = linear(cap["linear_2"], eh)
         eh = eh.reshape(b, -1, cfg.inner_dim)
+
+    if not isinstance(params["blocks"], (list, tuple)):  # stacked (PP) layout
+        def one_block(attn2, a2_lora):
+            def proj(name):
+                out = linear(attn2[name], eh)
+                if a2_lora is not None and name in a2_lora:
+                    la, lb = a2_lora[name]["a"], a2_lora[name]["b"]
+                    out = out + lora_scale * jnp.einsum(
+                        "...i,ir,ro->...o", eh, la.astype(eh.dtype),
+                        lb.astype(eh.dtype),
+                    )
+                return out
+
+            return _qk_norm(attn2.get("k_norm"), proj("to_k"), cfg), proj("to_v")
+
+        attn2_stack = params["blocks"]["attn2"]
+        lora_stack = None if lora is None else lora["blocks"].get("attn2")
+        if lora_stack is None:
+            k, v = jax.vmap(lambda a2: one_block(a2, None))(attn2_stack)
+        else:
+            k, v = jax.vmap(one_block)(attn2_stack, lora_stack)
+        return (k, v), eh
 
     cross_kv = []
     for i, block in enumerate(params["blocks"]):

@@ -123,7 +123,12 @@ def dit_apply_pp(
     assert num_layers % stages == 0, (num_layers, stages)
 
     b = hidden_states.shape[0]
-    m = num_microbatches or min(b, stages)
+    # default: the most microbatches that evenly divide the batch, capped at
+    # the stage count (more than S microbatches shrinks the bubble further
+    # but the default favors fewer, larger microbatches)
+    m = num_microbatches or max(
+        d for d in range(1, min(b, stages) + 1) if b % d == 0
+    )
     assert b % m == 0, f"batch {b} not divisible by microbatches {m}"
     b_m = b // m
     if data_axis is not None and b_m % mesh.shape[data_axis] != 0:

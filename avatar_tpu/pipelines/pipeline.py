@@ -179,6 +179,9 @@ class LTXVideoPipeline:
         sp_axis: str = "sp",
         dp_mesh=None,
         dp_axis: str = "data",
+        pp_mesh=None,
+        pp_axis: str = "pp",
+        pp_microbatches: Optional[int] = None,
     ):
         self.dit_cfg = dit_cfg
         # On a remote-tunneled device, the init-time param transforms below
@@ -220,6 +223,32 @@ class LTXVideoPipeline:
             # dit_params instead of duplicated in HBM (ADVICE r2 item 4).
             dit_params = permute_dit_params_for_split_rope(
                 dit_params, dit_cfg, jit_wrap=_one_shot,
+            )
+        # Pipeline parallelism: transformer blocks stacked on a leading
+        # layer axis and stage-sharded over `pp_mesh[pp_axis]`; each chip
+        # holds num_layers/S blocks and microbatches stream via ppermute
+        # (parallel/pipeline.py). For DiT variants too deep for one chip's
+        # HBM. Mutually exclusive with sp/dp (compose pp with a 'data' axis
+        # inside pp_mesh instead).
+        self.pp_mesh = pp_mesh
+        self.pp_axis = pp_axis
+        self.pp_microbatches = pp_microbatches
+        if pp_mesh is not None:
+            assert sp_mesh is None and dp_mesh is None, (
+                "pp_mesh composes with a 'data' axis in the same mesh, not "
+                "with sp_mesh/dp_mesh"
+            )
+            from avatar_tpu.parallel.pipeline import (
+                pp_param_sharding,
+                stack_block_params,
+            )
+
+            dit_params = dict(
+                dit_params, blocks=stack_block_params(dit_params["blocks"])
+            )
+            dit_params = jax.tree.map(
+                jax.device_put, dit_params,
+                pp_param_sharding(pp_mesh, dit_params, axis=pp_axis),
             )
         self.dit_params = dit_params
         self.vae_cfg = vae_cfg
@@ -527,6 +556,15 @@ class LTXVideoPipeline:
                  rescale, cond_mask, ref_lat, pose_lat, skip_layer_mask, key):
             b = latents.shape[0]
 
+            if (
+                self.pp_mesh is not None
+                and lora is not None
+                and isinstance(lora["blocks"], list)
+            ):
+                from avatar_tpu.parallel.pipeline import stack_block_params
+
+                lora = dict(lora, blocks=stack_block_params(lora["blocks"]))
+
             def tile(x):
                 return jnp.concatenate([x] * num_conds) if num_conds > 1 else x
 
@@ -585,7 +623,27 @@ class LTXVideoPipeline:
                     else skip_layer_mask
                 )
 
-                if self.sp_mesh is not None:
+                if self.pp_mesh is not None:
+                    from avatar_tpu.parallel.pipeline import dit_apply_pp
+
+                    noise_pred = dit_apply_pp(
+                        dit_params, dit_cfg, latent_in, fractional_coords,
+                        current_t, None, prompt_mask_b,
+                        mesh=self.pp_mesh, axis=self.pp_axis,
+                        num_microbatches=self.pp_microbatches,
+                        data_axis=(
+                            "data" if "data" in self.pp_mesh.axis_names
+                            else None
+                        ),
+                        skip_layer_mask=step_skip_mask,
+                        skip_layer_strategy=skip_strategy,
+                        attention_impl=attention_impl,
+                        lora=lora,
+                        freqs_cis=freqs_cis,
+                        rope_split=rope_split,
+                        cross_kv=cross_kv,
+                    ).astype(latents.dtype)
+                elif self.sp_mesh is not None:
                     from avatar_tpu.parallel.sequence import dit_apply_sp
 
                     noise_pred = dit_apply_sp(

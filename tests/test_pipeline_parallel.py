@@ -242,3 +242,64 @@ def test_pp_with_stacked_lora():
         )
     )(pp_params, pp_lora, tokens)
     np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=2e-5)
+
+
+def test_pipeline_pipeline_parallel_matches():
+    """Whole generation pipeline with pp_mesh == unsharded pipeline output:
+    blocks stage-sharded at init, hoisted cross-kv computed stacked (vmap
+    over the layer axis), CFG+STG skip masks streamed through the schedule."""
+    import dataclasses
+
+    from avatar_tpu.diffusion import RectifiedFlowSchedule
+    from avatar_tpu.models.vae import demo_config, init_vae
+    from avatar_tpu.pipelines import GenerationParams, LTXVideoPipeline
+
+    vae_cfg = dataclasses.replace(
+        demo_config(latent_channels=8), base_channels=32,
+        decoder_base_channels=32,
+    )
+    dit_cfg = DiTConfig(
+        num_attention_heads=8, attention_head_dim=8, in_channels=8,
+        out_channels=8, num_layers=4, cross_attention_dim=64,
+        caption_channels=32,
+    )
+    vae_params = init_vae(jax.random.PRNGKey(0), vae_cfg)
+    dit_params = init_dit(jax.random.PRNGKey(1), dit_cfg)
+    sched = RectifiedFlowSchedule.create(
+        sampler="Uniform", shifting="SD3", target_shift_terminal=0.1
+    )
+
+    def build(pp):
+        return LTXVideoPipeline(
+            dit_cfg, dit_params, vae_cfg, vae_params, schedule=sched,
+            attention_impl="xla",
+            pp_mesh=make_pp_mesh(pp=4, data=2) if pp else None,
+        )
+
+    h = w = 64
+    frames = 9
+    params = GenerationParams(
+        height=h, width=w, num_frames=frames, frame_rate=25.0,
+        num_inference_steps=2, guidance_scale=2.0, stg_scale=1.0,
+        rescaling_scale=0.7, decode_timestep=0.05,
+        skip_block_list=[1, 2],
+    )
+    embeds = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 32))
+    mask = jnp.ones((2, 8))
+    ref = jax.random.normal(jax.random.PRNGKey(3), (2, 1, h, w, 3))
+    pose = jax.random.normal(jax.random.PRNGKey(4), (2, frames, h, w, 3))
+    neg = jax.random.normal(jax.random.PRNGKey(5), (2, 8, 32))
+
+    kwargs = dict(
+        negative_prompt_embeds=neg, negative_prompt_attention_mask=mask,
+        ref_image=ref, pose_frames=pose, dtype=jnp.float32,
+    )
+    out_base = build(False)(
+        params, jax.random.PRNGKey(0), embeds, mask, **kwargs
+    )
+    out_pp = build(True)(
+        params, jax.random.PRNGKey(0), embeds, mask, **kwargs
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_pp), np.asarray(out_base), atol=3e-5
+    )
