@@ -239,6 +239,7 @@ def _attention(
     rope_split: bool = False,
     cross_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     sp_axis: Optional[str] = None,
+    sp_impl: str = "ulysses",
 ) -> jnp.ndarray:
     """AttnProcessor2_0.__call__ equivalent (attention.py:943-1114).
 
@@ -342,6 +343,7 @@ def _attention(
         # all-to-all for self-attention, replicated-kv local attention for
         # cross-attention (parallel/sequence.py).
         from avatar_tpu.parallel.sequence import (
+            ring_attention,
             ulysses_attention,
             ulysses_cross_attention,
         )
@@ -349,9 +351,16 @@ def _attention(
         if use_split_rope:
             q, k = split_to_head_major(q), split_to_head_major(k)
         if is_cross:
+            # replicated short kv: local attention in both sp impls
             out = ulysses_cross_attention(
                 split(q), split(k), split(v), axis_name=sp_axis,
                 kv_mask=kv_mask, attention_impl=attention_impl,
+            )
+        elif sp_impl == "ring":
+            out = ring_attention(
+                split(q), split(k), split(v), axis_name=sp_axis,
+                kv_mask=kv_mask, bounded_logits=bounded,
+                chunk_impl="dense" if attention_impl == "xla" else "auto",
             )
         else:
             out = ulysses_attention(
@@ -460,6 +469,7 @@ def _block_apply(
     rope_split: bool = False,
     cross_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     sp_axis: Optional[str] = None,
+    sp_impl: str = "ulysses",
 ) -> jnp.ndarray:
     """BasicTransformerBlock.forward (attention.py:198-321)."""
     b = x.shape[0]
@@ -535,6 +545,7 @@ def _block_apply(
         lora_scale=lora_scale,
         rope_split=rope_split,
         sp_axis=sp_axis,
+        sp_impl=sp_impl,
     )
     if gate_msa is not None:
         attn_out = gate_msa * attn_out
@@ -607,6 +618,7 @@ def dit_apply(
     rope_split: bool = False,
     cross_kv: Optional[Sequence[Tuple[jnp.ndarray, jnp.ndarray]]] = None,
     sp_axis: Optional[str] = None,
+    sp_impl: str = "ulysses",
 ) -> jnp.ndarray:
     """Transformer3DModel.forward (transformer3d.py:361-565) minus the avatar
     lerp (see :func:`avatar_condition_tokens`). Returns velocity tokens
@@ -641,7 +653,7 @@ def dit_apply(
                 attention_impl=attention_impl,
                 lora=block_lora, lora_scale=lora_scale,
                 rope_split=rope_split, cross_kv=block_kv,
-                sp_axis=sp_axis,
+                sp_axis=sp_axis, sp_impl=sp_impl,
             )
 
         if remat:

@@ -177,6 +177,7 @@ class LTXVideoPipeline:
         rope_split: bool = True,
         sp_mesh=None,
         sp_axis: str = "sp",
+        sp_impl: str = "ulysses",
         dp_mesh=None,
         dp_axis: str = "data",
         pp_mesh=None,
@@ -260,9 +261,12 @@ class LTXVideoPipeline:
         self.patch_size = patch_size
         self.attention_impl = attention_impl
         # Sequence parallelism: shard the token axis of the denoiser over
-        # `sp_mesh[sp_axis]` (Ulysses attention; parallel/sequence.py).
+        # `sp_mesh[sp_axis]` — "ulysses" (all-to-all, needs heads % s == 0)
+        # or "ring" (ppermute kv rotation, no head limit);
+        # parallel/sequence.py.
         self.sp_mesh = sp_mesh
         self.sp_axis = sp_axis
+        self.sp_impl = sp_impl
         # Data parallelism: shard the batch (sample) axis of every encode /
         # denoise / decode over `dp_mesh[dp_axis]` — multi-chip throughput
         # serving with zero per-step collectives (each sample is
@@ -650,6 +654,7 @@ class LTXVideoPipeline:
                         dit_params, dit_cfg, latent_in, fractional_coords,
                         current_t, None, prompt_mask_b,
                         mesh=self.sp_mesh, axis=self.sp_axis,
+                        sp_impl=self.sp_impl,
                         skip_layer_mask=step_skip_mask,
                         skip_layer_strategy=skip_strategy,
                         attention_impl=attention_impl,
