@@ -107,7 +107,38 @@ def train_loop(config, resume: bool = True):
 
     # -- mesh + sharding --
     pp_mesh = None
-    if config.sharding_mode == "pp":
+    sp_mesh = None
+    if config.sharding_mode == "sp":
+        # Context parallelism: params/trainable/optimizer replicated, the
+        # denoiser's token axis sharded over 'sp' (Ulysses or ring attention
+        # per config.sp_impl; parallel/sequence.py), batch optionally
+        # sharded over 'data' (mesh_data). Long-context training — one
+        # sample's activations split across chips.
+        n_dev = len(jax.devices())
+        data = config.mesh_data if config.mesh_data > 0 else 1
+        if n_dev % data or n_dev // data < 2:
+            raise ValueError(
+                f"sharding_mode=sp needs mesh_data ({data}) to divide the "
+                f"{n_dev} devices with an sp axis >= 2"
+            )
+        mesh = jax.sharding.Mesh(
+            np.asarray(jax.devices()).reshape(data, n_dev // data),
+            ("data", "sp"),
+        )
+        sp_mesh = mesh
+        rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        p_shard = jax.tree.map(lambda _: rep, dit_params)
+        dit_params = shard_pytree_global(dit_params, p_shard)
+        trainable = init_trainable(
+            jax.random.PRNGKey(config.seed), dit_params, dit_cfg, config
+        )
+        t_shard = jax.tree.map(lambda _: rep, trainable)
+        trainable = shard_pytree_global(trainable, t_shard)
+        optimizer = make_optimizer(config)
+        opt_state = optimizer.init(trainable)
+        o_shard = jax.tree.map(lambda _: rep, opt_state)
+        opt_state = shard_pytree_global(opt_state, o_shard)
+    elif config.sharding_mode == "pp":
         # GPipe pipeline parallelism: blocks stacked [L, ...] and
         # stage-sharded over 'pp'; remaining devices form a 'data' axis
         # (parallel/pipeline.py). lora_audio only.
@@ -190,10 +221,10 @@ def train_loop(config, resume: bool = True):
     step_fn = make_train_step(
         dit_cfg, config, optimizer,
         trainable_sharding=t_shard, opt_state_sharding=o_shard,
-        rope_split=rope_split, pp_mesh=pp_mesh,
+        rope_split=rope_split, pp_mesh=pp_mesh, sp_mesh=sp_mesh,
     )
     val_fn = validate_step_fn(dit_cfg, config, rope_split=rope_split,
-                              pp_mesh=pp_mesh)
+                              pp_mesh=pp_mesh, sp_mesh=sp_mesh)
 
     # -- data --
     dataset = LatentPairDataset(
@@ -247,7 +278,7 @@ def train_loop(config, resume: bool = True):
             )
             # orbax restores onto default devices; re-place on the mesh
             trainable = shard_pytree_global(restored["trainable"], t_shard)
-            if config.sharding_mode != "pp":
+            if config.sharding_mode not in ("pp", "sp"):
                 from avatar_tpu.parallel import opt_state_sharding
 
                 o_shard = opt_state_sharding(

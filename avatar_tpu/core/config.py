@@ -65,11 +65,18 @@ class TrainConfig:
     #             stage-sharded over a 'pp' axis, microbatches streamed via
     #             ppermute (parallel/pipeline.py); composes with 'data'.
     #             lora_audio mode only; pp_stages must divide num_layers.
+    #   "sp"    — context parallelism: params replicated, the denoiser's
+    #             TOKEN axis sharded over an 'sp' axis (Ulysses or ring
+    #             attention per sp_impl; parallel/sequence.py) — long-context
+    #             training where one sample's activations exceed a chip.
+    #             Composes with 'data' via mesh_data (batch shards x token
+    #             shards); n_tokens % sp_size must be 0.
     sharding_mode: str = "dp"
     mesh_data: int = -1  # -1: all devices on the data axis
     mesh_fsdp: int = 1
     pp_stages: int = 1  # pipeline stages when sharding_mode == "pp"
     pp_microbatches: int = 0  # 0: auto (min(batch, stages))
+    sp_impl: str = "ulysses"  # "ulysses" | "ring" (sharding_mode == "sp")
 
     # RF scheduler params
     rf_num_train_timesteps: int = 1000
@@ -156,6 +163,7 @@ def load_train_config_from_yaml(yaml_path: str) -> TrainConfig:
         mesh_fsdp=int(t.get("mesh_fsdp", 1)),
         pp_stages=int(t.get("pp_stages", 1)),
         pp_microbatches=int(t.get("pp_microbatches", 0)),
+        sp_impl=str(t.get("sp_impl", "ulysses")),
         rf_sampler=t.get("rf_sampler", rf_sampler),
         rf_num_train_timesteps=int(t.get("rf_num_train_timesteps", 1000)),
         rf_shift=opt_float("rf_shift"),

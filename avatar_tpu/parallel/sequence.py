@@ -383,6 +383,7 @@ def dit_apply_sp(
     rope_split: bool = False,
     cross_kv=None,
     sp_impl: str = "ulysses",
+    data_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Sequence-parallel ``dit_apply``: the full 28-block DiT under
     ``shard_map`` with token-sharded activations.
@@ -400,6 +401,13 @@ def dit_apply_sp(
     Requires N % sp_size == 0; Ulysses additionally requires
     num_heads % sp_size == 0 (ring has no head constraint, so it covers
     meshes wider than the head count).
+
+    ``data_axis``: optional second mesh axis to shard the BATCH dimension
+    over (dp x sp composition for training: each ('data' row, 'sp' ring)
+    holds one batch shard's token shard; B % data_size == 0).  All batched
+    inputs (tokens, grid, timestep, text embeds/mask, skip masks, cross_kv)
+    shard their leading axis over it; params/lora stay replicated, so the
+    loss gradient psums over both axes automatically.
     """
     from functools import partial
 
@@ -417,7 +425,13 @@ def dit_apply_sp(
             "heads not divisible by sp axis — use sp_impl='ring'",
         )
 
-    tok = P(None, axis, None)
+    da = data_axis
+    if da is not None:
+        assert hidden_states.shape[0] % mesh.shape[da] == 0, (
+            hidden_states.shape[0], mesh.shape[da],
+            "batch not divisible by the data axis",
+        )
+    tok = P(da, axis, None)
     rep = P()
 
     args = (
@@ -425,17 +439,17 @@ def dit_apply_sp(
         encoder_hidden_states, encoder_attention_mask,
         skip_layer_mask, freqs_cis, cross_kv, lora,
     )
-    t_spec = rep if timestep.ndim == 1 else P(None, axis)
+    t_spec = P(da) if timestep.ndim == 1 else P(da, axis)
     specs = (
         rep,                    # params (replicated)
         tok,                    # hidden_states
-        P(None, None, axis),    # indices_grid
+        P(da, None, axis),      # indices_grid
         t_spec,                 # timestep
-        rep,                    # encoder_hidden_states
-        rep,                    # encoder_attention_mask
-        rep,                    # skip_layer_mask
+        P(da),                  # encoder_hidden_states [B, Lk, C]
+        P(da),                  # encoder_attention_mask [B, Lk]
+        P(None, da),            # skip_layer_mask [L, B]
         tok,                    # freqs_cis (cos, sin) [B, N, dim]
-        rep,                    # cross_kv
+        P(da),                  # cross_kv per-block (k, v) of [B, H, Lk, D]
         rep,                    # lora
     )
 

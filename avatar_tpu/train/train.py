@@ -158,6 +158,7 @@ def velocity_loss(
     remat=False,  # False | "full" | "dots"
     rope_split: bool = False,
     pp_mesh=None,  # GPipe: blocks stacked + stage-sharded (sharding_mode "pp")
+    sp_mesh=None,  # context parallel: token axis sharded (sharding_mode "sp")
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """training.py:94-166 as a pure function over (trainable, batch).
 
@@ -237,6 +238,21 @@ def velocity_loss(
             attention_impl=attention_impl, lora=lora, lora_scale=scale,
             remat=remat, rope_split=rope_split,
         )
+    elif sp_mesh is not None:
+        # Context-parallel denoiser: activations token-sharded over 'sp'
+        # (Ulysses all-to-all or ring attention per cfg.sp_impl), batch
+        # optionally sharded over a 'data' axis — the long-context training
+        # machinery (512px·161f sequences past one chip's HBM).  Params and
+        # trainable stay replicated; the loss vjp psums grads over the mesh.
+        from avatar_tpu.parallel.sequence import dit_apply_sp
+
+        out = dit_apply_sp(
+            params, dit_cfg, cond, coords, t.astype(model_dtype), embeds,
+            mask, mesh=sp_mesh, sp_impl=getattr(cfg, "sp_impl", "ulysses"),
+            data_axis="data" if sp_mesh.shape.get("data", 1) > 1 else None,
+            attention_impl=attention_impl, lora=lora, lora_scale=scale,
+            remat=remat, rope_split=rope_split,
+        )
     else:
         out = dit_apply(
             params, dit_cfg, cond, coords, t.astype(model_dtype), embeds,
@@ -300,6 +316,7 @@ def make_train_step(
     opt_state_sharding=None,
     rope_split: bool = False,
     pp_mesh=None,
+    sp_mesh=None,
 ) -> Callable:
     """Build the jitted macro-batch step.
 
@@ -329,6 +346,7 @@ def make_train_step(
                 prompt_mask=prompt_mask, key=k,
                 train_mode=cfg.train_mode, attention_impl=attention_impl,
                 remat=remat, rope_split=rope_split, pp_mesh=pp_mesh,
+                sp_mesh=sp_mesh,
             )
             (loss, metrics), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
@@ -369,6 +387,7 @@ def validate_step_fn(
     dit_cfg: DiTConfig, cfg: TrainConfig, attention_impl: str = "auto",
     rope_split: bool = False,
     pp_mesh=None,
+    sp_mesh=None,
 ) -> Callable:
     """validation.py:14-95: same noising/velocity MSE without gradients."""
 
@@ -378,7 +397,7 @@ def validate_step_fn(
             trainable, dit_params, dit_cfg, cfg, batch,
             prompt_embeds, prompt_mask, key,
             train_mode=cfg.train_mode, attention_impl=attention_impl,
-            rope_split=rope_split, pp_mesh=pp_mesh,
+            rope_split=rope_split, pp_mesh=pp_mesh, sp_mesh=sp_mesh,
         )
         return metrics
 

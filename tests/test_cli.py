@@ -160,6 +160,41 @@ def test_train_cli_pp(tmp_path, synthetic_ckpt, latent_dirs):
     assert any("train/loss" in m for m in metrics)
 
 
+def test_train_cli_sp(tmp_path, synthetic_ckpt, latent_dirs):
+    """sharding_mode=sp end-to-end through the CLI train loop: ('data','sp')
+    mesh, replicated params/trainable/optimizer, token axis sharded through
+    ring attention (2 heads on an sp=4 axis — past Ulysses' head limit),
+    batches sharded over 'data'."""
+    from avatar_tpu.cli.train import train_loop
+    from avatar_tpu.core.config import TrainConfig
+
+    ckpt_path, _, _ = synthetic_ckpt
+    enc, cond = latent_dirs
+    out_dir = tmp_path / "run_sp"
+    cfg = TrainConfig(
+        checkpoint_path=str(ckpt_path),
+        condition_latents_dir=str(cond),
+        encoder_latents_dir=str(enc),
+        output_dir=str(out_dir),
+        batch_size=2, num_epochs=1, learning_rate=1e-3,
+        lora_rank=2, lora_alpha=2, gradient_accumulation_steps=2,
+        precision="float32", train_mode="lora_audio",
+        rf_log_normal_mu=-0.5, rf_log_normal_sigma=1.0,
+        log_every_n_steps=1, save_every_n_epochs=1,
+        wandb_project=None,
+        sharding_mode="sp", sp_impl="ring", mesh_data=2,
+    )
+    train_loop(cfg, resume=False)
+    assert (out_dir / "model_epoch_1.safetensors").exists() or (
+        out_dir / "best_model_epoch_1.safetensors"
+    ).exists()
+    metrics = [
+        json.loads(line)
+        for line in (out_dir / "metrics.jsonl").read_text().splitlines()
+    ]
+    assert any("train/loss" in m for m in metrics)
+
+
 def test_exported_checkpoint_runs_inference(tmp_path, synthetic_ckpt):
     """create_ltx_video_pipeline from the synthetic single-file checkpoint,
     then a 2-step generation (test_inference.py smoke semantics)."""

@@ -579,3 +579,60 @@ def test_pp_train_step_matches_dp():
     # stage sharding survives the update
     lead = jax.tree.leaves(t_pp["lora"]["blocks"])[0]
     assert "pp" in str(lead.sharding.spec)
+
+
+@pytest.mark.parametrize(
+    "sp_impl,data,sp",
+    [("ulysses", 4, 2), ("ring", 2, 4)],
+    ids=["ulysses-dp4xsp2", "ring-dp2xsp4"],
+)
+def test_sp_train_step_matches_dp(sp_impl, data, sp):
+    """sharding_mode=sp: the context-parallel LoRA train step (token axis
+    sharded over 'sp', batch over 'data') must produce the same loss and
+    updated trainable as the unsharded step.  The ring case runs 2 heads on
+    an sp=4 axis — past Ulysses' heads % devices constraint."""
+    assert jax.device_count() == 8
+    cfg_sp = _cfg(sharding_mode="sp", sp_impl=sp_impl, mesh_data=data)
+    params = init_dit(jax.random.PRNGKey(0), DIT)
+    opt = make_optimizer(cfg_sp)
+    embeds, mask = _prompt()
+    batch = _batch(b=data)  # one sample per 'data' row; 12 tokens over sp
+    key = jax.random.PRNGKey(6)
+
+    # unsharded (dp) baseline; copy=True guards against donation aliasing
+    tr_dp = jax.tree.map(
+        lambda x: jnp.array(x, copy=True),
+        init_trainable(jax.random.PRNGKey(1), params, DIT, _cfg()),
+    )
+    step_dp = make_train_step(DIT, _cfg(), opt, attention_impl="xla")
+    t_dp, _, m_dp = step_dp(
+        tr_dp, opt.init(tr_dp), params, batch, embeds, mask, key
+    )
+
+    mesh = jax.sharding.Mesh(
+        np.asarray(jax.devices()).reshape(data, sp), ("data", "sp")
+    )
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    sp_params = jax.tree.map(lambda x: jax.device_put(x, rep), params)
+    tr = jax.tree.map(
+        lambda x: jax.device_put(jnp.array(x, copy=True), rep),
+        init_trainable(jax.random.PRNGKey(1), params, DIT, cfg_sp),
+    )
+    bs = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, "data")
+    )
+    batch_sp = {k: jax.device_put(v, bs) for k, v in batch.items()}
+    step_sp = make_train_step(
+        DIT, cfg_sp, opt, attention_impl="xla", sp_mesh=mesh
+    )
+    t_sp, _, m_sp = step_sp(
+        tr, opt.init(tr), sp_params, batch_sp, embeds, mask, key
+    )
+
+    assert abs(float(m_sp["loss"]) - float(m_dp["loss"])) < 1e-5
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-4
+        ),
+        t_dp, t_sp,
+    )
