@@ -72,7 +72,8 @@ def train_loop(config, resume: bool = True):
         TrainStateCheckpointer, export_training_checkpoint,
     )
     from avatar_tpu.train.train import (
-        init_trainable, make_optimizer, make_train_step, validate_step_fn,
+        ema_params, init_trainable, make_lr_schedule, make_optimizer,
+        make_train_step, validate_step_fn,
     )
     from avatar_tpu.utils.metrics import MetricsLogger
     from avatar_tpu.utils.weight_import import (
@@ -105,7 +106,26 @@ def train_loop(config, resume: bool = True):
 
         dit_params = permute_dit_params_for_split_rope(dit_params, dit_cfg)
 
+    # -- data (before the optimizer: LR schedules need the step horizon) --
+    dataset = LatentPairDataset(
+        config.condition_latents_dir, config.encoder_latents_dir
+    )
+    val_dataset = None
+    if config.val_condition_latents_dir and config.val_encoder_latents_dir:
+        val_dataset = LatentPairDataset(
+            config.val_condition_latents_dir, config.val_encoder_latents_dir
+        )
+    if main_proc:
+        print(f"[train] {len(dataset)} train clips"
+              + (f", {len(val_dataset)} val clips" if val_dataset else ""))
+    steps_per_epoch = len(dataset) // (
+        config.batch_size * config.gradient_accumulation_steps
+    )
+    total_steps = steps_per_epoch * (config.num_epochs or 0)
+    lr_fn = make_lr_schedule(config, total_steps)
+
     # -- mesh + sharding --
+    optimizer = make_optimizer(config, total_steps)
     pp_mesh = None
     sp_mesh = None
     if config.sharding_mode == "sp":
@@ -134,7 +154,6 @@ def train_loop(config, resume: bool = True):
         )
         t_shard = jax.tree.map(lambda _: rep, trainable)
         trainable = shard_pytree_global(trainable, t_shard)
-        optimizer = make_optimizer(config)
         opt_state = optimizer.init(trainable)
         o_shard = jax.tree.map(lambda _: rep, opt_state)
         opt_state = shard_pytree_global(opt_state, o_shard)
@@ -183,7 +202,6 @@ def train_loop(config, resume: bool = True):
         }
         trainable = shard_pytree_global(trainable, t_shard)
 
-        optimizer = make_optimizer(config)
         # moments (zeros_like) inherit the stage sharding from the placed
         # trainable; scalars optax creates fresh (e.g. count) come back
         # single-device — pin those replicated on the mesh
@@ -206,7 +224,6 @@ def train_loop(config, resume: bool = True):
         t_shard = param_sharding(mesh, trainable, mode=config.sharding_mode)
         trainable = shard_pytree_global(trainable, t_shard)
 
-        optimizer = make_optimizer(config)
         opt_state = optimizer.init(trainable)
         o_shard = None
         if config.sharding_mode in ("zero2", "fsdp"):
@@ -225,19 +242,6 @@ def train_loop(config, resume: bool = True):
     )
     val_fn = validate_step_fn(dit_cfg, config, rope_split=rope_split,
                               pp_mesh=pp_mesh, sp_mesh=sp_mesh)
-
-    # -- data --
-    dataset = LatentPairDataset(
-        config.condition_latents_dir, config.encoder_latents_dir
-    )
-    val_dataset = None
-    if config.val_condition_latents_dir and config.val_encoder_latents_dir:
-        val_dataset = LatentPairDataset(
-            config.val_condition_latents_dir, config.val_encoder_latents_dir
-        )
-    if main_proc:
-        print(f"[train] {len(dataset)} train clips"
-              + (f", {len(val_dataset)} val clips" if val_dataset else ""))
 
     prompt_embeds, prompt_mask = encode_train_prompt(
         config, dit_cfg.caption_channels
@@ -349,7 +353,7 @@ def train_loop(config, resume: bool = True):
                 "train/nrmse": float(metrics["nrmse"]),
                 "train/transformer_mse": float(metrics["transformer_mse"]),
                 "train/epoch": epoch,
-                "train/lr": config.learning_rate,
+                "train/lr": float(lr_fn(gstep)) if callable(lr_fn) else lr_fn,
             })
 
     with mesh:
@@ -446,33 +450,37 @@ def train_loop(config, resume: bool = True):
             if config.output_dir and (epoch + 1) % config.save_every_n_epochs == 0:
                 is_best = epoch_loss < best_loss
                 best_loss = min(best_loss, epoch_loss)
-                if n_proc > 1:
-                    # collective all-gather of (possibly fsdp-sharded)
-                    # weights to host, then rank-0 writes — the ZeRO-3
-                    # gather-to-rank0 export, TPU style
-                    host_params = gather_to_host(dit_params)
-                    host_trainable = gather_to_host(trainable)
-                else:
-                    host_params, host_trainable = dit_params, trainable
-                if config.sharding_mode == "pp":
-                    # exports are canonical per-block lists, not stacked
-                    from avatar_tpu.parallel.pipeline import (
-                        unstack_block_params,
-                    )
+                def to_host_canonical(tree, is_trainable):
+                    if n_proc > 1:
+                        # collective all-gather of (possibly fsdp-sharded)
+                        # weights to host, then rank-0 writes — the ZeRO-3
+                        # gather-to-rank0 export, TPU style
+                        tree = gather_to_host(tree)
+                    if config.sharding_mode == "pp":
+                        # exports are canonical per-block lists, not stacked
+                        from avatar_tpu.parallel.pipeline import (
+                            unstack_block_params,
+                        )
 
-                    host_params = dict(
-                        host_params,
-                        blocks=unstack_block_params(host_params["blocks"]),
-                    )
-                    host_trainable = dict(
-                        host_trainable,
-                        lora=dict(
-                            host_trainable["lora"],
-                            blocks=unstack_block_params(
-                                host_trainable["lora"]["blocks"]
-                            ),
-                        ),
-                    )
+                        if is_trainable:
+                            tree = dict(
+                                tree,
+                                lora=dict(
+                                    tree["lora"],
+                                    blocks=unstack_block_params(
+                                        tree["lora"]["blocks"]
+                                    ),
+                                ),
+                            )
+                        else:
+                            tree = dict(
+                                tree,
+                                blocks=unstack_block_params(tree["blocks"]),
+                            )
+                    return tree
+
+                host_params = to_host_canonical(dit_params, False)
+                host_trainable = to_host_canonical(trainable, True)
                 if main_proc:
                     path = export_training_checkpoint(
                         Path(config.output_dir)
@@ -483,6 +491,18 @@ def train_loop(config, resume: bool = True):
                         is_best=is_best,
                     )
                     print(f"[train] saved {path}")
+                if config.ema_decay > 0:
+                    host_ema = to_host_canonical(ema_params(opt_state), True)
+                    if main_proc:
+                        path = export_training_checkpoint(
+                            Path(config.output_dir)
+                            / f"model_epoch_{epoch + 1}_ema.safetensors",
+                            host_params, dit_cfg, host_ema, config,
+                            metadata={"epoch": str(epoch + 1),
+                                      "global_step": str(global_step),
+                                      "ema_decay": str(config.ema_decay)},
+                        )
+                        print(f"[train] saved {path}")
                 sync_processes("export")
                 checkpointer.save(
                     global_step, trainable, opt_state,

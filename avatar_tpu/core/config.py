@@ -57,6 +57,24 @@ class TrainConfig:
     # m-buffer (optax keeps the second moment f32 regardless)
     optimizer_moment_dtype: str = "float32"
 
+    # Production-trainer knobs the reference's bare AdamW loop
+    # (training.py:271-330) lacks — all off by default for parity:
+    #   max_grad_norm  — >0 enables global-norm gradient clipping
+    #   lr_schedule    — "constant" | "cosine" | "linear" decay after warmup;
+    #                    non-constant schedules need a horizon: lr_total_steps
+    #                    or (in the CLI) num_epochs x steps-per-epoch
+    #   lr_warmup_steps — linear warmup 0 -> learning_rate
+    #   ema_decay      — >0 keeps an exponential moving average of the
+    #                    trainable params inside the optimizer state
+    #                    (bias-corrected warmup; rides checkpointing and
+    #                    ZeRO sharding for free) and exports it beside each
+    #                    epoch checkpoint as *_ema.safetensors
+    max_grad_norm: float = 0.0
+    lr_schedule: str = "constant"
+    lr_warmup_steps: int = 0
+    lr_total_steps: int = 0
+    ema_decay: float = 0.0
+
     # TPU parallelism (replaces use_deepspeed/ds_config json):
     #   "dp"    — pure data parallel (params replicated)
     #   "zero2" — params replicated, optimizer state sharded over 'fsdp'
@@ -158,6 +176,11 @@ def load_train_config_from_yaml(yaml_path: str) -> TrainConfig:
         gradient_accumulation_steps=int(t.get("gradient_accumulation_steps", 1)),
         optimizer=str(t.get("optimizer", "adamw")),
         optimizer_moment_dtype=str(t.get("optimizer_moment_dtype", "float32")),
+        max_grad_norm=float(t.get("max_grad_norm", 0.0)),
+        lr_schedule=str(t.get("lr_schedule", "constant")),
+        lr_warmup_steps=int(t.get("lr_warmup_steps", 0)),
+        lr_total_steps=int(t.get("lr_total_steps", 0)),
+        ema_decay=float(t.get("ema_decay", 0.0)),
         sharding_mode=sharding_mode,
         mesh_data=int(t.get("mesh_data", -1)),
         mesh_fsdp=int(t.get("mesh_fsdp", 1)),

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -275,21 +275,121 @@ def velocity_loss(
     return loss, metrics
 
 
-def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+class EmaState(NamedTuple):
+    """EMA of the trainable params, carried inside the optimizer state so
+    orbax checkpointing and ZeRO opt-state sharding apply to it for free."""
+
+    ema: Any
+    count: jnp.ndarray
+
+
+def ema_of_params(decay: float) -> optax.GradientTransformation:
+    """Last link of the optimizer chain: passes updates through unchanged
+    and tracks ``ema = d*ema + (1-d)*(params + updates)`` with the standard
+    bias-corrected warmup ``d = min(decay, (1+t)/(10+t))``."""
+
+    def init_fn(params):
+        # explicit copy: the step donates trainable AND opt_state — aliased
+        # buffers at init would be donated twice
+        ema = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+        return EmaState(ema=ema, count=jnp.zeros((), jnp.int32))
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("ema_of_params requires params")
+        new_params = optax.apply_updates(params, updates)
+        count = state.count + 1
+        d = jnp.minimum(decay, (1.0 + count) / (10.0 + count))
+        ema = jax.tree.map(
+            lambda e, p: (
+                d * e.astype(jnp.float32) + (1.0 - d) * p.astype(jnp.float32)
+            ).astype(e.dtype),
+            state.ema,
+            new_params,
+        )
+        return updates, EmaState(ema=ema, count=count)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def ema_params(opt_state):
+    """Extract the EMA trainable tree from a chained optimizer state
+    (None when the optimizer was built without ema_decay)."""
+    for leaf in jax.tree.leaves(
+        opt_state, is_leaf=lambda x: isinstance(x, EmaState)
+    ):
+        if isinstance(leaf, EmaState):
+            return leaf.ema
+    return None
+
+
+def make_lr_schedule(cfg: TrainConfig, total_steps: Optional[int] = None):
+    """Learning rate as a float (constant, no warmup) or an optax schedule.
+
+    ``total_steps`` (CLI: num_epochs x steps-per-epoch) backs
+    cfg.lr_total_steps; cosine/linear decay requires one of them."""
+    base = cfg.learning_rate or 1e-4
+    kind = (cfg.lr_schedule or "constant").lower()
+    warmup = max(cfg.lr_warmup_steps, 0)
+    total = cfg.lr_total_steps or total_steps or 0
+    if kind == "constant" and warmup == 0:
+        return base
+    if kind not in ("constant", "cosine", "linear"):
+        raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
+    if kind != "constant" and total <= warmup:
+        raise ValueError(
+            f"lr_schedule={kind!r} needs lr_total_steps > lr_warmup_steps "
+            f"(got total={total}, warmup={warmup})"
+        )
+    decay_steps = max(total - warmup, 1)
+
+    def schedule(step):
+        s = jnp.asarray(step, jnp.float32)
+        warm = s / warmup if warmup else 1.0
+        warm = jnp.minimum(warm, 1.0)
+        progress = jnp.clip((s - warmup) / decay_steps, 0.0, 1.0)
+        if kind == "cosine":
+            factor = 0.5 * (1.0 + jnp.cos(jnp.pi * progress))
+        elif kind == "linear":
+            factor = 1.0 - progress
+        else:
+            factor = 1.0
+        return base * warm * factor
+
+    return schedule
+
+
+def make_optimizer(
+    cfg: TrainConfig, total_steps: Optional[int] = None
+) -> optax.GradientTransformation:
     # torch.optim.AdamW defaults (training.py:271): betas (0.9, 0.999),
     # eps 1e-8, weight_decay 0.01.  cfg.optimizer / optimizer_moment_dtype
     # trade optimizer-state HBM for speed/batch headroom (see TrainConfig).
+    # Optional production extras (all off by default — reference parity):
+    # global-norm clipping, warmup/cosine/linear LR schedule, param EMA.
+    lr = make_lr_schedule(cfg, total_steps)
     if cfg.optimizer == "adafactor":
-        return optax.adafactor(cfg.learning_rate or 1e-4)
-    if cfg.optimizer != "adamw":
+        base = optax.adafactor(lr)
+    elif cfg.optimizer == "adamw":
+        mu_dtype = None
+        if cfg.optimizer_moment_dtype in ("bfloat16", "bf16"):
+            mu_dtype = jnp.bfloat16
+        base = optax.adamw(
+            lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01,
+            mu_dtype=mu_dtype,
+        )
+    else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
-    mu_dtype = None
-    if cfg.optimizer_moment_dtype in ("bfloat16", "bf16"):
-        mu_dtype = jnp.bfloat16
-    return optax.adamw(
-        cfg.learning_rate or 1e-4, b1=0.9, b2=0.999, eps=1e-8,
-        weight_decay=0.01, mu_dtype=mu_dtype,
-    )
+
+    links = []
+    if cfg.max_grad_norm and cfg.max_grad_norm > 0:
+        links.append(optax.clip_by_global_norm(cfg.max_grad_norm))
+    links.append(base)
+    if cfg.ema_decay and cfg.ema_decay > 0:
+        if not 0.0 < cfg.ema_decay < 1.0:
+            raise ValueError(f"ema_decay must be in (0, 1): {cfg.ema_decay}")
+        links.append(ema_of_params(cfg.ema_decay))
+    return optax.chain(*links) if len(links) > 1 else base
 
 
 def init_trainable(

@@ -106,6 +106,10 @@ def test_train_cli_and_resume(tmp_path, synthetic_ckpt, latent_dirs):
         rf_log_normal_mu=-0.5, rf_log_normal_sigma=1.0,
         log_every_n_steps=1, save_every_n_epochs=1,
         wandb_project=None,
+        # production-trainer extras ride the same loop (clip + warmup/cosine
+        # + param EMA with per-epoch EMA checkpoint export)
+        max_grad_norm=1.0, lr_schedule="cosine", lr_warmup_steps=1,
+        ema_decay=0.99,
     )
     train_loop(cfg, resume=False)
 
@@ -113,6 +117,7 @@ def test_train_cli_and_resume(tmp_path, synthetic_ckpt, latent_dirs):
     assert (out_dir / "model_epoch_1.safetensors").exists() or (
         out_dir / "best_model_epoch_1.safetensors"
     ).exists()
+    assert (out_dir / "model_epoch_1_ema.safetensors").exists()
     metrics = [
         json.loads(line)
         for line in (out_dir / "metrics.jsonl").read_text().splitlines()

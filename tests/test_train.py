@@ -508,6 +508,110 @@ def test_optimizer_options():
         make_optimizer(_cfg(optimizer="sgd"))
 
 
+def test_lr_schedule_values():
+    """Warmup/cosine/linear LR schedules (beyond the reference's fixed LR,
+    training.py:271): closed-form values at the warmup boundary, midpoint
+    and horizon."""
+    from avatar_tpu.train.train import make_lr_schedule
+
+    cfg = _cfg(learning_rate=1e-3, lr_schedule="cosine",
+               lr_warmup_steps=2, lr_total_steps=10)
+    s = make_lr_schedule(cfg)
+    assert float(s(0)) == 0.0
+    assert float(s(1)) == pytest.approx(5e-4)
+    assert float(s(2)) == pytest.approx(1e-3)
+    assert float(s(6)) == pytest.approx(5e-4, rel=1e-5)  # cos midpoint
+    assert float(s(10)) == pytest.approx(0.0, abs=1e-10)
+
+    lin = make_lr_schedule(_cfg(learning_rate=1e-3, lr_schedule="linear",
+                                lr_total_steps=10))
+    assert float(lin(5)) == pytest.approx(5e-4)
+    assert float(lin(10)) == pytest.approx(0.0, abs=1e-10)
+
+    # constant + warmup is a schedule that plateaus at the base LR
+    cw = make_lr_schedule(_cfg(learning_rate=1e-3, lr_warmup_steps=4))
+    assert float(cw(2)) == pytest.approx(5e-4)
+    assert float(cw(100)) == pytest.approx(1e-3)
+
+    # constant without warmup stays a plain float (optax fast path)
+    assert make_lr_schedule(_cfg(learning_rate=1e-3)) == 1e-3
+    # CLI-provided horizon backs lr_total_steps
+    assert float(make_lr_schedule(
+        _cfg(learning_rate=1e-3, lr_schedule="linear"), total_steps=10)(5)
+    ) == pytest.approx(5e-4)
+
+    with pytest.raises(ValueError):
+        make_lr_schedule(_cfg(lr_schedule="cosine"))  # no horizon
+    with pytest.raises(ValueError):
+        make_lr_schedule(_cfg(lr_schedule="polynomial", lr_total_steps=10))
+
+
+def test_grad_clip_and_ema():
+    """max_grad_norm + ema_decay: clipping bounds the grads entering AdamW;
+    the EMA of the params is carried in opt_state (bias-corrected warmup
+    decay) and extractable via ema_params."""
+    import optax
+
+    from avatar_tpu.train.train import ema_params
+
+    cfg = _cfg(max_grad_norm=1.0, ema_decay=0.9)
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    opt = make_optimizer(cfg)
+    state = opt.init(params)
+    ema0 = ema_params(state)
+    assert ema0 is not None
+    np.testing.assert_array_equal(np.asarray(ema0["w"]),
+                                  np.asarray(params["w"]))
+
+    grads = {"w": jnp.full((4, 4), 1e6), "b": jnp.full((4,), 1e6)}
+    updates, state = opt.update(grads, state, params)
+    new_params = optax.apply_updates(params, updates)
+    assert all(np.isfinite(np.asarray(u)).all()
+               for u in jax.tree.leaves(updates))
+
+    # one step: d = min(0.9, (1+1)/(10+1)); ema = d*p0 + (1-d)*p1
+    d = min(0.9, 2.0 / 11.0)
+    exp_w = d * np.asarray(params["w"]) + (1 - d) * np.asarray(new_params["w"])
+    np.testing.assert_allclose(np.asarray(ema_params(state)["w"]), exp_w,
+                               rtol=1e-6)
+
+    # no EMA link -> ema_params is None
+    assert ema_params(make_optimizer(_cfg()).init(params)) is None
+    with pytest.raises(ValueError):
+        make_optimizer(_cfg(ema_decay=1.5))
+
+
+def test_train_step_with_optimizer_extras():
+    """Integration: clip + cosine schedule + EMA through the jitted
+    (donating) train step — loss still drops, EMA tracks the trainable."""
+    from avatar_tpu.train.train import ema_params
+
+    cfg = _cfg(max_grad_norm=1.0, ema_decay=0.99, lr_schedule="cosine",
+               lr_warmup_steps=1, lr_total_steps=16)
+    params = init_dit(jax.random.PRNGKey(0), DIT)
+    trainable = init_trainable(jax.random.PRNGKey(1), params, DIT, cfg)
+    opt = make_optimizer(cfg)
+    opt_state = opt.init(trainable)
+    step = make_train_step(DIT, cfg, opt, attention_impl="xla")
+    embeds, mask = _prompt()
+    batch = _batch()
+    losses = []
+    for _ in range(8):
+        trainable, opt_state, metrics = step(
+            trainable, opt_state, params, batch, embeds, mask,
+            jax.random.PRNGKey(2),
+        )
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    ema = ema_params(opt_state)
+    assert jax.tree.structure(ema) == jax.tree.structure(trainable)
+    # EMA lags the fast-moving trainable but is finite and has moved
+    moved = jax.tree.leaves(jax.tree.map(
+        lambda e, t: float(jnp.abs(e - t).max()), ema, trainable))
+    assert all(np.isfinite(m) for m in moved)
+    assert max(moved) > 0
+
+
 def test_pp_train_step_matches_dp():
     """sharding_mode=pp: the pipeline-parallel LoRA train step (blocks
     stage-sharded over 'pp', microbatched ppermute schedule) must produce
