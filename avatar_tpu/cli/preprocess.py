@@ -306,11 +306,25 @@ def cmd_save_vae_latents(args):
 
     import jax
 
+    save_pixels = bool(getattr(args, "save_pixels", False))
+    if save_pixels:
+        os.makedirs(args.output_dir, exist_ok=True)
+    # --save_pixels: keep the host uint8 clip alongside the staged device
+    # copy so decoder fine-tuning targets ({stem}_pixels.npy, see
+    # train/decoder.py) can be written without a device round-trip
+    stage = (lambda x: (jax.device_put(x), x)) if save_pixels else jax.device_put
+
     pending = None  # (device_latents, save_args) — overlap encode with save IO
     for x, base, clip_idx, s, e, fps in _iter_preprocessed_clips(
         sorted(files), args.clip_length, args.stride, args.height, args.width,
-        stage=jax.device_put,
+        stage=stage,
     ):
+        if save_pixels:
+            x, host_pixels = x
+            np.save(
+                Path(args.output_dir) / f"{base}_{clip_idx}_pixels.npy",
+                np.asarray(host_pixels[0], dtype=np.uint8),
+            )
         lat = enc.encode(x, seed=clip_idx, per_channel=args.per_channel_normalize)
         if pending is not None:
             _flush_latents(*pending, fmt=args.format)
@@ -591,6 +605,9 @@ def main():
 
     p = sub.add_parser("save-vae-latents")
     p.add_argument("--inputs", type=str, nargs="+", required=True)
+    p.add_argument("--save_pixels", action="store_true",
+                   help="also save {stem}_pixels.npy uint8 targets for "
+                        "decoder fine-tuning (train/decoder.py)")
     common(p)
     p.set_defaults(fn=cmd_save_vae_latents)
 

@@ -59,7 +59,154 @@ def encode_train_prompt(config, caption_channels: int = 4096):
         )
 
 
+def decoder_train_loop(config, resume: bool = True):
+    """VAE-decoder fine-tuning (train_mode "decoder" / `decoder_train: true`):
+    the reference's bit-rotted decoder-train design made functional — see
+    train/decoder.py. Needs {stem}_pixels.npy targets beside the encoder
+    latents (cli.preprocess save-vae-latents --save_pixels). Data-parallel
+    only; exports a drop-in single-file checkpoint per epoch."""
+    from avatar_tpu.data.dataset import (
+        LatentPairDataset, epoch_batches, prefetch_batches,
+    )
+    from avatar_tpu.models.dit import DiTConfig
+    from avatar_tpu.models.vae import VAEConfig
+    from avatar_tpu.train.checkpoints import TrainStateCheckpointer
+    from avatar_tpu.train.decoder import (
+        init_decoder_trainable, make_decoder_train_step,
+        merge_decoder_trainable,
+    )
+    from avatar_tpu.train.train import make_lr_schedule, make_optimizer
+    from avatar_tpu.utils.metrics import MetricsLogger
+    from avatar_tpu.utils.weight_import import (
+        export_vae_state, import_transformer_state, import_vae_state,
+        load_single_file_checkpoint, save_single_file_checkpoint,
+    )
+
+    configs, t_state, v_state = load_single_file_checkpoint(
+        config.checkpoint_path
+    )
+    vae_cfg = VAEConfig.from_dict(configs["vae"])
+    vae_params = import_vae_state(v_state, vae_cfg)
+    if config.precision in ("bfloat16", "bf16"):
+        vae_params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), vae_params)
+
+    dataset = LatentPairDataset(
+        config.condition_latents_dir, config.encoder_latents_dir
+    )
+    if len(dataset) == 0 or "pixels" not in dataset[0]:
+        raise ValueError(
+            "decoder training needs {stem}_pixels.npy pixel targets beside "
+            "the encoder latents — rerun `cli.preprocess save-vae-latents "
+            "--save_pixels`"
+        )
+    steps_per_epoch = len(dataset) // (
+        config.batch_size * config.gradient_accumulation_steps
+    )
+    total_steps = steps_per_epoch * (config.num_epochs or 0)
+    lr_fn = make_lr_schedule(config, total_steps)
+
+    trainable = init_decoder_trainable(vae_params)
+    optimizer = make_optimizer(config, total_steps)
+    opt_state = optimizer.init(trainable)
+    step_fn = make_decoder_train_step(vae_cfg, config, optimizer)
+
+    n_dev = len(jax.devices())
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()), ("data",))
+    batch_sharding = jax.sharding.NamedSharding(
+        mesh,
+        jax.sharding.PartitionSpec(None, "data")
+        if config.batch_size % n_dev == 0
+        else jax.sharding.PartitionSpec(),
+    )
+
+    logger = MetricsLogger(
+        output_dir=config.output_dir,
+        wandb_project=config.wandb_project,
+        wandb_run_name=config.wandb_run_name,
+        wandb_config={"mode": "decoder", "batch_size": config.batch_size,
+                      "learning_rate": config.learning_rate,
+                      "decoder_t_max": config.decoder_t_max},
+    )
+    if config.decoder_loss_lpips_weight:
+        print("[train] decoder_loss_lpips_weight > 0 but lpips is not "
+              "installed — LPIPS term skipped (L1 only)")
+
+    checkpointer = None
+    global_step = 0
+    start_epoch = 0
+    if config.output_dir:
+        checkpointer = TrainStateCheckpointer(
+            Path(config.output_dir) / "state"
+        )
+        if resume and checkpointer.latest_step() is not None:
+            step, restored = checkpointer.restore(
+                template={"trainable": trainable, "opt_state": opt_state,
+                          "extra": {"epoch": 0}}
+            )
+            trainable = restored["trainable"]
+            opt_state = restored["opt_state"]
+            global_step = step
+            start_epoch = int(restored.get("extra", {}).get("epoch", 0))
+            print(f"[train] resumed decoder training from step {global_step}")
+
+    key = jax.random.PRNGKey(config.seed + 2)
+    for epoch in range(start_epoch, config.num_epochs or 0):
+        losses = []
+        for batch in prefetch_batches(
+            epoch_batches(dataset, config.batch_size,
+                          config.gradient_accumulation_steps,
+                          seed=config.seed, epoch=epoch),
+            device_put=lambda v: jax.device_put(jnp.asarray(v), batch_sharding),
+        ):
+            key, k_step = jax.random.split(key)
+            arrays = {k: v for k, v in batch.items() if k != "stem"}
+            trainable, opt_state, metrics = step_fn(
+                trainable, opt_state, vae_params, arrays, k_step
+            )
+            global_step += 1
+            loss = float(metrics["loss"])
+            losses.append(loss)
+            if global_step % config.log_every_n_steps == 0:
+                logger.log(global_step, {
+                    "train/decoder_loss": loss,
+                    "train/decoder_l1": float(metrics["decoder_l1"]),
+                    "train/decoder_psnr": float(metrics["decoder_psnr"]),
+                    "train/epoch": epoch,
+                    "train/lr": float(lr_fn(global_step))
+                    if callable(lr_fn) else lr_fn,
+                })
+        epoch_loss = sum(losses) / len(losses) if losses else 0.0
+        print(f"Decoder epoch {epoch + 1} finished. "
+              f"Average loss: {epoch_loss:.6f}")
+
+        if config.output_dir and (epoch + 1) % config.save_every_n_epochs == 0:
+            merged = merge_decoder_trainable(vae_params, trainable)
+            dit_cfg = DiTConfig.from_dict(configs["transformer"])
+            dit_params = import_transformer_state(t_state, dit_cfg)
+            path = Path(config.output_dir) / f"vae_epoch_{epoch + 1}.safetensors"
+            save_single_file_checkpoint(
+                path, dit_params, dit_cfg,
+                vae_state=export_vae_state(merged, vae_cfg),
+                vae_config=configs["vae"],
+                scheduler_config=configs.get("scheduler"),
+            )
+            del dit_params
+            print(f"[train] saved {path}")
+            if checkpointer is not None:
+                checkpointer.save(global_step, trainable, opt_state,
+                                  extra={"epoch": epoch + 1})
+
+    if checkpointer is not None:
+        checkpointer.manager.wait_until_finished()
+        checkpointer.close()
+    logger.finish()
+    print("Decoder training complete!")
+    return trainable
+
+
 def train_loop(config, resume: bool = True):
+    if config.decoder_train or config.train_mode == "decoder":
+        return decoder_train_loop(config, resume=resume)
     from avatar_tpu.data.dataset import (
         LatentPairDataset, epoch_batches, prefetch_batches,
     )
@@ -522,7 +669,8 @@ def main():
     parser = argparse.ArgumentParser(description="avatar_tpu training")
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument(
-        "--train_mode", type=str, choices=["full", "lora_audio"], default="full"
+        "--train_mode", type=str, choices=["full", "lora_audio", "decoder"],
+        default="full"
     )
     parser.add_argument("--no_resume", action="store_true")
     # multi-host (TPU pod / CPU cluster) launch flags. On TPU pods these can

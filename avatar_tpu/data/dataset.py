@@ -95,6 +95,11 @@ class LatentPairDataset:
         ff_path = self.condition_dir / f"{stem}_ff.npy"
         if ff_path.exists():
             item["audio_latents"] = np.load(ff_path).astype(np.float32)
+        # optional pixel targets ({stem}_pixels.npy uint8 [F, H, W, 3],
+        # save-vae-latents --save_pixels output) for decoder fine-tuning
+        px_path = self.encoder_dir / f"{stem}_pixels.npy"
+        if px_path.exists():
+            item["pixels"] = np.load(px_path)
         return item
 
 
@@ -113,6 +118,8 @@ def collate_latent_pairs(batch: List[Dict[str, np.ndarray]]) -> Dict[str, np.nda
         "ref_image_latents": np.stack([b["ref_image_latents"] for b in batch]),
         "stem": [b["stem"] for b in batch],
     }
+    if all("pixels" in b for b in batch):
+        out["pixels"] = np.stack([b["pixels"] for b in batch])
     if all("audio_latents" in b for b in batch):
         t_max = max(b["audio_latents"].shape[0] for b in batch)
         padded, mask = [], []
