@@ -93,11 +93,25 @@ def decoder_train_loop(config, resume: bool = True):
     dataset = LatentPairDataset(
         config.condition_latents_dir, config.encoder_latents_dir
     )
-    if len(dataset) == 0 or "pixels" not in dataset[0]:
+    # validate EVERY stem up front: collate_latent_pairs drops the 'pixels'
+    # key when presence is mixed within a batch, which would otherwise
+    # surface mid-epoch as an opaque KeyError inside the jitted step
+    missing = [
+        s
+        for s in dataset.items
+        if not (dataset.encoder_dir / f"{s}_pixels.npy").exists()
+    ]
+    if len(dataset) == 0 or missing:
         raise ValueError(
             "decoder training needs {stem}_pixels.npy pixel targets beside "
             "the encoder latents — rerun `cli.preprocess save-vae-latents "
             "--save_pixels`"
+            + (
+                f" (missing for {len(missing)}/{len(dataset)} clips, e.g. "
+                f"{missing[:3]})"
+                if missing
+                else ""
+            )
         )
     steps_per_epoch = len(dataset) // (
         config.batch_size * config.gradient_accumulation_steps

@@ -11,13 +11,13 @@ so one code path serves dims 2 and 3.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from avatar_tpu.models.layers import group_norm, init_conv3d
+from avatar_tpu.models.layers import group_norm
 from avatar_tpu.ops.causal_conv3d import conv3d_same
 from avatar_tpu.ops.pixel_shuffle import pixel_shuffle_3d
 

@@ -23,7 +23,6 @@ diffusers_config_mapping.py:148-174).
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -40,7 +39,7 @@ from avatar_tpu.models.layers import (
     timestep_embedder,
 )
 from avatar_tpu.ops.attention import scaled_dot_product_attention
-from avatar_tpu.ops.causal_conv3d import causal_conv3d, conv3d_params, linear_nd
+from avatar_tpu.ops.causal_conv3d import conv3d_params
 from avatar_tpu.ops.normalization import layer_norm, pixel_norm, rms_norm
 from avatar_tpu.ops.pixel_shuffle import (
     patchify_pixels,

@@ -33,7 +33,7 @@ processes (4 virtual devices each) run the FSDP train step over the
 from __future__ import annotations
 
 import os
-from typing import Iterable, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

@@ -158,20 +158,31 @@ def ring_attention(
     den0 = vary(jnp.zeros((b, h, n_local), jnp.float32))
 
     if bounded_logits:
+        # masked entries get exp(-1e30) == 0 exactly, so fully-masked rows
+        # end the ring with num == den == 0; carry a v-sum so those rows can
+        # degrade to uniform attention over ALL kv, matching the unbounded
+        # branch (where p == 1 everywhere once every logit is the sentinel)
+        vsum0 = vary(jnp.zeros((b, h, d), jnp.float32))
 
         def step(carry, _):
-            k_c, v_c, m_c, num, den = carry
+            k_c, v_c, m_c, num, den, vsum = carry
             p = jnp.exp(jnp.minimum(logits_of(k_c, m_c), 80.0))
             num = num + jnp.einsum(
                 "bhnm,bhmd->bhnd", p, v_c.astype(jnp.float32)
             )
             den = den + p.sum(-1)
+            vsum = vsum + v_c.astype(jnp.float32).sum(2)
             k_c, v_c, m_c = rotate(k_c, v_c, m_c)
-            return (k_c, v_c, m_c, num, den), None
+            return (k_c, v_c, m_c, num, den, vsum), None
 
-        (_, _, _, num, den), _ = jax.lax.scan(
-            step, (k, v, kv_mask, num0, den0), None, length=s
+        (_, _, _, num, den, vsum), _ = jax.lax.scan(
+            step, (k, v, kv_mask, num0, den0, vsum0), None, length=s
         )
+        dead = den == 0.0
+        num = jnp.where(
+            dead[..., None], vsum[:, :, None, :] / (s * k.shape[2]), num
+        )
+        den = jnp.where(dead, 1.0, den)
     else:
         # online softmax with a running row max; -1e30 (finite) sentinels
         # keep the max/rescale arithmetic nan-free for masked chunks

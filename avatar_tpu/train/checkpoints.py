@@ -15,13 +15,10 @@ Two layers, mirroring + extending the reference
 
 from __future__ import annotations
 
-import json
-import os
 from pathlib import Path
 from typing import Any, Dict, Optional
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from avatar_tpu.core.config import TrainConfig

@@ -591,11 +591,13 @@ def save_single_file_checkpoint(
     tensors = {f"model.diffusion_model.{k}": v for k, v in t_state.items()}
     configs: Dict[str, Any] = {"transformer": dit_cfg.to_dict()}
     if vae_state is not None:
+        # ALL vae keys (incl. per_channel_statistics buffers) must carry the
+        # ``vae.`` prefix: the reference's load_state_dict keeps only
+        # ``vae.*`` keys whenever any are present
+        # (causal_video_autoencoder.py:249-254), so bare stats keys would be
+        # silently dropped by a reference-side load of our checkpoint.
         for k, v in vae_state.items():
-            if k.startswith(PER_CHANNEL_STATISTICS_PREFIX):
-                tensors[k] = v
-            else:
-                tensors[f"vae.{k}"] = v
+            tensors[f"vae.{k}"] = v
         configs["vae"] = vae_config
     if scheduler_config is not None:
         configs["scheduler"] = scheduler_config

@@ -4,7 +4,6 @@ reference's tests/test_inference.py + test_configs.py strategy."""
 
 import dataclasses
 import json
-from pathlib import Path
 
 import jax
 import jax.numpy as jnp

@@ -225,3 +225,11 @@ def test_decoder_cli_e2e(tmp_path):
                                    - jnp.asarray(b, jnp.float32)).max()),
         vae_params2["decoder"], vae_params["decoder"]))
     assert max(diff) > 0
+
+    # partially-preprocessed corpus (one clip missing {stem}_pixels.npy)
+    # must fail UP FRONT with the --save_pixels hint, not mid-epoch with a
+    # KeyError from collate dropping the mixed 'pixels' key
+    (enc / "clip_1_pixels.npy").unlink()
+    with pytest.raises(ValueError, match=r"missing for 1/2.*clip_1"):
+        train_loop(dataclasses.replace(cfg, output_dir=str(tmp_path / "r2")),
+                   resume=False)

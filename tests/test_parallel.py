@@ -7,7 +7,6 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from avatar_tpu.models.dit import DiTConfig, dit_apply, init_dit
 from avatar_tpu.ops.rope import get_latent_coords

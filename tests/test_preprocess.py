@@ -6,7 +6,6 @@ the host-normalized float path (reference: preprocessing/save_vae_latents.py
 import dataclasses
 import json
 import types
-from pathlib import Path
 
 import jax
 import jax.numpy as jnp

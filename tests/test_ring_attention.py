@@ -91,9 +91,11 @@ def test_ring_with_kv_mask(sp_mesh, bounded):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
-def test_ring_fully_masked_rows_uniform(sp_mesh):
+@pytest.mark.parametrize("bounded", [False, True])
+def test_ring_fully_masked_rows_uniform(sp_mesh, bounded):
     """All-masked rows degrade to uniform attention like the dense oracle's
-    -1e30 bias convention (no NaNs from the online-softmax rescale)."""
+    -1e30 bias convention (no NaNs from the online-softmax rescale or the
+    bounded branch's exp(-1e30)==0 denominator)."""
     b, h, n, d = 1, 4, 64, 8
     ks = jax.random.split(jax.random.PRNGKey(3), 3)
     q = jax.random.normal(ks[0], (b, h, n, d))
@@ -104,7 +106,7 @@ def test_ring_fully_masked_rows_uniform(sp_mesh):
     fn = jax.jit(
         shard_map(
             lambda q, k, v, m: ring_attention(
-                q, k, v, axis_name="sp", kv_mask=m
+                q, k, v, axis_name="sp", kv_mask=m, bounded_logits=bounded
             ),
             mesh=sp_mesh,
             in_specs=(

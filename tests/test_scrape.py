@@ -1,7 +1,6 @@
 """Unit tests for the scraper's dependency-free logic: CSV parsing,
 bot-detection abort, manifest resume semantics."""
 
-import json
 import subprocess
 from unittest import mock
 

@@ -2,7 +2,6 @@
 gradients, merged LoRA equals delta forward, full-mode partition, orbax
 resume, dataset loading, and the FSDP-sharded step on an 8-device CPU mesh."""
 
-import dataclasses
 
 import jax
 import jax.numpy as jnp

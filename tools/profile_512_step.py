@@ -1,7 +1,7 @@
 """Trace one w8a8 DiT block-scan at 5376 tokens (512px/161f shape)."""
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import jax, jax.numpy as jnp, numpy as np
+import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from avatar_tpu.models.dit import DiTConfig, init_dit, _block_apply, permute_dit_params_for_split_rope

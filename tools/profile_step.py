@@ -1,7 +1,7 @@
 """xprof the optimized denoise step (pipeline path) and print op stats."""
-import glob, os
+import os
 
-import jax, jax.numpy as jnp, numpy as np
+import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

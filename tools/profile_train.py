@@ -4,10 +4,10 @@ Operating point (BASELINE.md / configs/train-avatars.yaml:17-37): batch 8,
 57-frame clips at 320x192 -> latents [8, 8, 6, 10, 128] = 480 tokens,
 LoRA r=32 on attn2 + caption_projection, bf16 activations, accum 1.
 """
-import glob, os, sys, time
+import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax, jax.numpy as jnp, numpy as np
+import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -31,7 +31,6 @@ params = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
                       init_dit(jax.random.PRNGKey(0), dit_cfg))
 trainable = init_trainable(jax.random.PRNGKey(1), params, dit_cfg, cfg)
 opt = make_optimizer(cfg)
-import optax
 opt_state = opt.init(trainable)
 if _args.rope_split:
     from avatar_tpu.models.dit import permute_dit_params_for_split_rope

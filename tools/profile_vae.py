@@ -1,6 +1,6 @@
 """xprof the VAE decode at bench shapes."""
-import glob, os, sys, time
-import jax, jax.numpy as jnp, numpy as np
+import os, sys, time
+import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from avatar_tpu.models.vae import LTX_VAE_CONFIG, VAEConfig, init_vae, vae_decode, vae_encode

@@ -3,7 +3,7 @@ token-major [1, L, C] array vs contiguous reads from [G, L, width].
 
 Decides whether the blocked rope-fused kernel's 9 TF/s is strided-DMA-bound,
 and whether a fused rope+relayout pass would run near memory speed."""
-import sys, os, time, functools
+import sys, os, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp, numpy as np
 from jax.experimental import pallas as pl
