@@ -21,8 +21,11 @@ from PIL import Image
 def crf_compress(image: np.ndarray, crf: int = 29) -> np.ndarray:
     """H.264 CRF encode/decode round-trip of a [H, W, 3] float [0,1] image
     (crf_compressor.py:34-50) — intentionally matches training-data
-    compression artifacts. Backends in preference order: PyAV, ffmpeg
-    binary, JPEG quality fallback (approximate artifacts; warned once)."""
+    compression artifacts. Backends in preference order: PyAV, the native
+    libavcodec/libx264 shim (avatar_tpu.native — pixel-identical to the
+    reference given the same libx264; mp4 muxing is lossless), JPEG
+    quality fallback (approximate artifacts; warned once, quality
+    calibrated against true CRF in tools/calibrate_crf_proxy.py)."""
     if crf == 0:
         return image
     arr = (image[: image.shape[0] // 2 * 2, : image.shape[1] // 2 * 2] * 255.0)
@@ -58,20 +61,33 @@ def crf_compress(image: np.ndarray, crf: int = 29) -> np.ndarray:
     except ImportError:
         pass
 
-    # JPEG round-trip fallback (cv2): approximates the blocky/ringing
-    # artifacts. CRF 29 roughly corresponds to mid-quality JPEG.
+    # Native shim: the same libx264 CRF round-trip via system libavcodec.
+    from avatar_tpu.native import crf_roundtrip
+
+    decoded = crf_roundtrip(arr, crf)
+    if decoded is not None:
+        return decoded.astype(image.dtype) / 255.0
+
+    # JPEG round-trip fallback (cv2), calibrated against TRUE libx264
+    # output (tools/calibrate_crf_proxy.py): H.264's in-loop deblocking
+    # keeps block edges smooth, so the statistical match for CRF 29 is a
+    # HIGH JPEG quality (90: delta PSNR +0.55 dB, delta blockiness -0.03
+    # luma steps on structured test frames), not the mid quality a naive
+    # bitrate analogy suggests.  Off the calibrated point, scale in QP
+    # space: one CRF step ~ one H.264 QP step ~ -2 JPEG quality.
     global _WARNED_CRF_FALLBACK
     if not globals().get("_WARNED_CRF_FALLBACK"):
         import warnings
 
         warnings.warn(
-            "PyAV not available: using JPEG round-trip as CRF-compression "
-            "proxy (install `av` for exact reference behavior)."
+            "PyAV/libavcodec not available: using calibrated JPEG "
+            "round-trip as CRF-compression proxy (install `av` for exact "
+            "reference behavior)."
         )
         globals()["_WARNED_CRF_FALLBACK"] = True
     import cv2
 
-    quality = max(5, 95 - 2 * crf)
+    quality = int(np.clip(90 - 2 * (crf - 29), 5, 95))
     ok, enc = cv2.imencode(
         ".jpg", arr[..., ::-1], [int(cv2.IMWRITE_JPEG_QUALITY), quality]
     )
