@@ -155,7 +155,11 @@ def _encode_prompts(config: InferenceConfig, pipeline_config: dict):
         "text_encoder_model_name_or_path",
         "PixArt-alpha/PixArt-XL-2-1024-MS",
     )
-    t5_cfg, t5_params = load_t5_encoder(model_path)
+    # "w8" keeps T5-XXL HBM-resident (4.76 GB int8) beside the DiT+VAE
+    # instead of encode-then-free; see models/t5.py:load_t5_encoder
+    t5_cfg, t5_params = load_t5_encoder(
+        model_path, quantize=pipeline_config.get("quantization_text_encoder")
+    )
     tokenizer = T5TokenizerFast.from_pretrained(model_path, subfolder="tokenizer")
     embeds, mask = encode_prompt(t5_params, t5_cfg, tokenizer, config.prompt)
     neg_embeds, neg_mask = encode_prompt(

@@ -254,11 +254,20 @@ def import_t5_state(state: Dict[str, np.ndarray], cfg: T5Config) -> dict:
     }
 
 
-def load_t5_encoder(model_name_or_path: str, subfolder: str = "text_encoder"):
+def load_t5_encoder(
+    model_name_or_path: str,
+    subfolder: str = "text_encoder",
+    quantize: Optional[str] = None,
+):
     """Load an HF T5 encoder directory (host-side torch/safetensors read).
 
     Returns (cfg, params). Requires local files or HF cache (zero-egress
-    environments must pre-download)."""
+    environments must pre-download).
+
+    quantize="w8" int8-quantizes the block linears on load
+    (utils/quantize.py:quantize_t5_params) — T5-XXL weights drop to
+    4.76 GB so the encoder can stay HBM-resident beside the DiT+VAE
+    (pipeline yaml key ``quantization_text_encoder``)."""
     import json
     from pathlib import Path
 
@@ -276,7 +285,17 @@ def load_t5_encoder(model_name_or_path: str, subfolder: str = "text_encoder"):
     for fpath in files:
         tensors, _ = load_safetensors(fpath)
         state.update(tensors)
-    return cfg, import_t5_state(state, cfg)
+    params = import_t5_state(state, cfg)
+    if quantize:
+        from avatar_tpu.utils.quantize import quantize_t5_params
+
+        # donate: the f32/bf16 source tree is freed as the int8 tree is
+        # built (XXL f32 + int8 coresident would not fit v5e HBM)
+        params = jax.jit(
+            lambda p: quantize_t5_params(p, mode=quantize),
+            donate_argnums=0,
+        )(params)
+    return cfg, params
 
 
 def encode_prompt(

@@ -1241,7 +1241,8 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _flash_dense_forward(q, k, v, bias, scale, block_q, block_kv):
+def _flash_dense_forward(q, k, v, bias, scale, block_q, block_kv,
+                         return_lse=False):
     """Blocked forward with a dense additive bias.  bias: [Bb, Lq, Lk]
     where Bb is B (shared across heads) or B*H (per-head)."""
     batch, heads, lq, d = q.shape
@@ -1301,8 +1302,274 @@ def _flash_dense_forward(q, k, v, bias, scale, block_q, block_kv):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
     )(qp, kp, vp, bias)
+    out = out[:, :lq].reshape(batch, heads, lq, d)
+    if return_lse:
+        return out, lse
     del lse
-    return out[:, :lq].reshape(batch, heads, lq, d)
+    return out
+
+
+def _bwd_dkv_kernel_bias(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                         bias_ref, dk_ref, dv_ref, dk_scratch, dv_scratch,
+                         *, scale, num_q_blocks):
+    """dK/dV with a dense additive bias: identical to _bwd_dkv_kernel but
+    the probabilities are regenerated as exp(qk*scale + bias - lse) —
+    bias block [1, Bq, Bk] (rows = q of this inner step, cols = kv)."""
+    q_idx = pl.program_id(2)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scratch[:] = jnp.zeros_like(dk_scratch)
+        dv_scratch[:] = jnp.zeros_like(dv_scratch)
+
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale + bias_ref[0]  # [Bq, Bk]
+    p = jnp.exp(s - lse_ref[0, 0][:, None])
+
+    dv_scratch[:] = dv_scratch[:] + jax.lax.dot_general(
+        p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_ref[0, 0][:, None]) * scale
+    dk_scratch[:] = dk_scratch[:] + jax.lax.dot_general(
+        ds.astype(q_ref.dtype), q_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(q_idx == num_q_blocks - 1)
+    def _finalize():
+        dk_ref[0] = dk_scratch[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scratch[:].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel_bias(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                        bias_ref, dq_ref, dq_scratch,
+                        *, scale, num_kv_blocks):
+    """dQ with a dense additive bias (see _bwd_dq_kernel)."""
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_scratch[:] = jnp.zeros_like(dq_scratch)
+
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale + bias_ref[0]
+    p = jnp.exp(s - lse_ref[0, 0][:, None])
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_ref[0, 0][:, None]) * scale
+    dq_scratch[:] = dq_scratch[:] + jax.lax.dot_general(
+        ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kv_idx == num_kv_blocks - 1)
+    def _finalize():
+        dq_ref[0] = dq_scratch[:].astype(dq_ref.dtype)
+
+
+def _bwd_db_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                   bias_ref, db_ref, db_scratch, *, scale, heads_group):
+    """dBias = sum over the heads sharing one bias slab of P*(dP - delta).
+
+    Grid (Bb, q blocks, kv blocks, heads_group), heads innermost — the
+    output block index is constant across the h sweep, so accumulating in
+    scratch and flushing at h == heads_group-1 is the legal
+    consecutive-revisit pattern (per-head bias: heads_group == 1)."""
+    hh = pl.program_id(3)
+
+    @pl.when(hh == 0)
+    def _init():
+        db_scratch[:] = jnp.zeros_like(db_scratch)
+
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale + bias_ref[0]
+    p = jnp.exp(s - lse_ref[0, 0][:, None])
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db_scratch[:] = db_scratch[:] + p * (dp - delta_ref[0, 0][:, None])
+
+    @pl.when(hh == heads_group - 1)
+    def _finalize():
+        db_ref[0] = db_scratch[:].astype(db_ref.dtype)
+
+
+def _flash_dense_backward(q, k, v, bias, out, lse, g, scale, block_q,
+                          block_kv):
+    """Pallas backward for the dense-bias path (VERDICT r3 item 9 — was an
+    XLA recompute materializing the [B*H, Lq, Lk] logits). Three streaming
+    passes (dK/dV, dQ, dBias) that regenerate P blockwise from the saved
+    lse, like _flash_backward; db never materializes per-head slabs even
+    when the bias is shared across heads."""
+    batch, heads, lq, d = q.shape
+    lk = k.shape[2]
+    block_q = min(block_q, DEFAULT_BWD_BLOCK)
+    block_kv = min(block_kv, DEFAULT_BWD_BLOCK)
+    qp, kp, vp, _, block_q, block_kv, lq_pad, lk_pad = _pad_inputs(
+        q, k, v, None, block_q, block_kv
+    )
+    bh = batch * heads
+    bb = bias.shape[0]
+    heads_group = bh // bb
+    biasp = jnp.pad(
+        bias.astype(jnp.float32),
+        ((0, 0), (0, lq_pad - lq), (0, lk_pad - lk)),
+        constant_values=NEG_INF,
+    )
+    do = jnp.pad(g, ((0, 0), (0, 0), (0, lq_pad - lq), (0, 0))).reshape(
+        bh, lq_pad, d
+    )
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )
+    delta = jnp.pad(delta, ((0, 0), (0, 0), (0, lq_pad - lq))).reshape(
+        bh, 1, lq_pad
+    )
+    if lse.shape[-1] != lq_pad:
+        lse = jnp.pad(
+            lse[:, :, :min(lse.shape[-1], lq_pad)],
+            ((0, 0), (0, 0), (0, max(0, lq_pad - lse.shape[-1]))),
+            constant_values=LSE_MASKED,
+        )
+
+    num_q_blocks = lq_pad // block_q
+    num_kv_blocks = lk_pad // block_kv
+    interpret = _interpret()
+    hg = heads_group
+
+    # -- dK/dV: grid (bh, kv blocks, q blocks), q innermost --
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel_bias, scale=scale,
+                          num_q_blocks=num_q_blocks),
+        interpret=interpret,
+        grid=(bh, num_kv_blocks, num_q_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d), lambda b, j, i: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d), lambda b, j, i: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda b, j, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda b, j, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, block_kv),
+                         lambda b, j, i, h=hg: (b // h, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_kv, d), lambda b, j, i: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d), lambda b, j, i: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, lk_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, lk_pad, d), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_kv, d), jnp.float32),
+            pltpu.VMEM((block_kv, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qp, kp, vp, do, lse, delta, biasp)
+
+    # -- dQ: grid (bh, q blocks, kv blocks), kv innermost --
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel_bias, scale=scale,
+                          num_kv_blocks=num_kv_blocks),
+        interpret=interpret,
+        grid=(bh, num_q_blocks, num_kv_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, block_kv),
+                         lambda b, i, j, h=hg: (b // h, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, lq_pad, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qp, kp, vp, do, lse, delta, biasp)
+
+    # -- dBias: grid (Bb, q blocks, kv blocks, heads_group), h innermost --
+    db = pl.pallas_call(
+        functools.partial(_bwd_db_kernel, scale=scale,
+                          heads_group=heads_group),
+        interpret=interpret,
+        grid=(bb, num_q_blocks, num_kv_blocks, heads_group),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d),
+                         lambda b, i, j, hh, h=hg: (b * h + hh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d),
+                         lambda b, i, j, hh, h=hg: (b * h + hh, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d),
+                         lambda b, i, j, hh, h=hg: (b * h + hh, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d),
+                         lambda b, i, j, hh, h=hg: (b * h + hh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q),
+                         lambda b, i, j, hh, h=hg: (b * h + hh, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q),
+                         lambda b, i, j, hh, h=hg: (b * h + hh, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, block_kv),
+                         lambda b, i, j, hh: (b, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, block_kv),
+                               lambda b, i, j, hh: (b, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bb, lq_pad, lk_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_q, block_kv), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+    )(qp, kp, vp, do, lse, delta, biasp)
+
+    dq = dq.reshape(batch, heads, lq_pad, d)[:, :, :lq]
+    dk = dk.reshape(batch, heads, lk_pad, d)[:, :, :lk]
+    dv = dv.reshape(batch, heads, lk_pad, d)[:, :, :lk]
+    db = db[:, :lq, :lk].astype(bias.dtype)
+    return dq, dk, dv, db
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -1311,31 +1578,15 @@ def _flash_dense(q, k, v, bias, scale, block_q, block_kv):
 
 
 def _flash_dense_fwd(q, k, v, bias, scale, block_q, block_kv):
-    out = _flash_dense_forward(q, k, v, bias, scale, block_q, block_kv)
-    return out, (q, k, v, bias)
+    out, lse = _flash_dense_forward(q, k, v, bias, scale, block_q, block_kv,
+                                    return_lse=True)
+    return out, (q, k, v, bias, out, lse)
 
 
 def _flash_dense_bwd(scale, block_q, block_kv, residuals, g):
-    # XLA recompute backward: dense-bias training is not a shipped config
-    # (the avatar flow uses keep-masks only), so the O(Lq*Lk) logits
-    # materialization here is an acceptable rarely-taken path.
-    q, k, v, bias = residuals
-    from avatar_tpu.ops.attention import xla_attention
-
-    heads = q.shape[1]
-    bias4 = bias[:, None] if bias.shape[0] == q.shape[0] else (
-        bias.reshape(q.shape[0], heads, bias.shape[1], bias.shape[2])
-    )
-
-    def ref(q_, k_, v_, b_):
-        return xla_attention(q_, k_, v_, b_, scale)
-
-    _, vjp = jax.vjp(ref, q, k, v, bias4)
-    dq, dk, dv, db4 = vjp(g)
-    db = db4.sum(axis=1) if bias.shape[0] == q.shape[0] else (
-        db4.reshape(bias.shape)
-    )
-    return dq, dk, dv, db.astype(bias.dtype)
+    q, k, v, bias, out, lse = residuals
+    return _flash_dense_backward(q, k, v, bias, out, lse, g, scale,
+                                 block_q, block_kv)
 
 
 _flash_dense.defvjp(_flash_dense_fwd, _flash_dense_bwd)

@@ -38,6 +38,31 @@ def _kernel(x_q_ref, x_s_ref, w_q_ref, w_s_ref, b_ref, out_ref):
     out_ref[:] = out.astype(out_ref.dtype)
 
 
+def _kernel_ksplit(x_q_ref, x_s_ref, w_q_ref, w_s_ref, b_ref, out_ref,
+                   acc_ref):
+    """K-split variant: accumulate int32 partials in a VMEM scratch over
+    the kk grid axis, dequantize once on the last step.  Lets LARGE-K
+    shapes (ff_out: K=8192) run big (bm, bn) output tiles whose x/w blocks
+    individually fit VMEM — w traffic drops from (M/256)x|W| to
+    (M/896)x|W| (336 -> 184 MB at the 5376x8192x2048 shape)."""
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += jnp.dot(
+        x_q_ref[:], w_q_ref[:], preferred_element_type=jnp.int32
+    )
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _flush():
+        out = acc_ref[...].astype(jnp.float32) * x_s_ref[:] * w_s_ref[:]
+        if b_ref is not None:
+            out = out + b_ref[:]
+        out_ref[...] = out.astype(out_ref.dtype)
+
+
 def _pick_bm(m: int, k: int) -> int:
     # int8 sublane tile is 32. Keep the x block around <=2 MB so the
     # double-buffered (x, w, out) working set stays under the ~16 MB VMEM
@@ -59,7 +84,7 @@ def _pick_bm(m: int, k: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("out_dtype", "interpret", "bm", "bn")
+    jax.jit, static_argnames=("out_dtype", "interpret", "bm", "bn", "bk")
 )
 def w8a8_matmul(
     x_q: jnp.ndarray,  # [M, K] int8
@@ -71,24 +96,86 @@ def w8a8_matmul(
     interpret: Optional[bool] = None,
     bm: Optional[int] = None,  # block-size overrides (tools/sweep_512.py)
     bn: Optional[int] = None,
+    bk: Optional[int] = None,  # K tile; enables the k-split accumulator
 ) -> jnp.ndarray:
     if interpret is None:  # interpreter mode on CPU (unit tests)
         interpret = jax.default_backend() == "cpu"
     m, k = x_q.shape
     k2, n = w_q.shape
     assert k == k2, (x_q.shape, w_q.shape)
-    if bm is None:
-        bm = _pick_bm(m, k)
-    # N tile: keep the (double-buffered) w block around <=2 MB; wider
-    # tiles amortize the x-block re-reads (512 -> 1024 at K=2048 measured
-    # 340 -> 371 TOP/s at the DiT ff_in shape, tools/sweep_512.py)
-    if bn is None:
-        bn = min(1024 if k <= 2048 else (512 if k <= 4096 else 256), n)
-    bm, bn = min(bm, m), min(bn, n)
+    # Large-K shapes (ff_out: 5376x8192x2048) go through the k-split
+    # accumulator: without it the 2 MB x-block cap forces bm=256 and the
+    # full 16 MB weight streams M/256 times (260.7 TOP/s measured); with
+    # 896x2048 output tiles + bk=1024 the weight traffic drops ~3.5x
+    # (measured 316.0 TOP/s; bn=1024 variant 308.9, bk=2048 exceeds the
+    # VMEM budget and fails to compile).
+    if bk is None and k > 4096 and m >= 2048 and k % 1024 == 0:
+        bk = 1024
+    if bk is not None and bk < k:
+        if bm is None:
+            bm = _pick_bm(m, bk)
+        if bn is None:
+            bn = min(2048, n)
+        bm, bn = min(bm, m), min(bn, n)
+    else:
+        bk = None
+        if bm is None:
+            bm = _pick_bm(m, k)
+        # N tile: keep the (double-buffered) w block around <=2 MB; wider
+        # tiles amortize the x-block re-reads (512 -> 1024 at K=2048
+        # measured 340 -> 371 TOP/s at the DiT ff_in shape)
+        if bn is None:
+            bn = min(1024 if k <= 2048 else (512 if k <= 4096 else 256), n)
+        bm, bn = min(bm, m), min(bn, n)
 
     w_s2 = w_s.reshape(1, n).astype(jnp.float32)
     b2 = None if bias is None else bias.reshape(1, n).astype(jnp.float32)
     x_s = x_s.astype(jnp.float32)
+
+    if bk is not None:
+        grid = (pl.cdiv(m, bm), pl.cdiv(n, bn), pl.cdiv(k, bk))
+        in_specs = [
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j, kk: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+        ]
+        args = [x_q, x_s, w_q, w_s2]
+        if b2 is not None:
+            in_specs.append(
+                pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                             memory_space=pltpu.VMEM)
+            )
+            args.append(b2)
+            kern = _kernel_ksplit
+        else:
+            def kern(x_q_ref, x_s_ref, w_q_ref, w_s_ref, out_ref, acc_ref):
+                _kernel_ksplit(x_q_ref, x_s_ref, w_q_ref, w_s_ref, None,
+                               out_ref, acc_ref)
+
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (bm, bn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * m * n * k,
+                bytes_accessed=m * k + k * n + m * n * 2,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(*args)
 
     grid = (pl.cdiv(m, bm), pl.cdiv(n, bn))
     in_specs = [

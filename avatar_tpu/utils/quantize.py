@@ -100,6 +100,46 @@ def quantize_vae_params(params: dict, min_size: int = 2**16) -> dict:
     return walk(params)
 
 
+def quantize_t5_params(params: dict, mode: str = "w8") -> dict:
+    """int8-quantize the T5 encoder block linears (models/t5.py).
+
+    mode="w8" (default): weight-only int8 — the residency tool. T5-XXL
+    drops 9.52 -> 4.76 GB of weights (+0.26 GB bf16 embedding table),
+    which fits v5e HBM *beside* the DiT + VAE instead of the
+    encode-then-free pattern the bf16 footprint forces (bench.py
+    t5_stage). The 256-token encode is weight-read-bound (batch 1-8 rows
+    per MXU pass), so halving weight bytes also ~halves encode latency —
+    unlike the DiT, where w8 buys only footprint.
+
+    mode="w8a8": adds dynamic per-token activation quant (int8 MXU dot);
+    only worth it for large-batch offline prompt encoding.
+
+    Norms, the relative-position bias table, and the ``shared`` embedding
+    stay full precision (the embedding is a gather, not a matmul; 0.26 GB
+    bf16). Per-out-channel symmetric scales; parity gated in
+    tests/test_t5.py::test_t5_int8_quantization.
+    """
+    if mode not in ("w8", "w8a8"):
+        raise ValueError(f"unknown quantization mode {mode!r}")
+    act = mode == "w8a8"
+    blocks = []
+    for block in params["blocks"]:
+        blocks.append(
+            {
+                **block,
+                "attn": {
+                    name: quantize_linear(lin, act=act)
+                    for name, lin in block["attn"].items()
+                },
+                "ff": {
+                    name: quantize_linear(lin, act=act)
+                    for name, lin in block["ff"].items()
+                },
+            }
+        )
+    return {**params, "blocks": blocks}
+
+
 def _is_linear(node) -> bool:
     return (
         isinstance(node, dict)

@@ -475,8 +475,13 @@ def test_w8a8_matmul_kernel():
     from avatar_tpu.ops.int8_matmul import quantize_rows, w8a8_matmul
 
     key = jax.random.PRNGKey(0)
-    for m, k, n, use_bias in [(832, 256, 512, True), (100, 512, 256, False),
-                              (64, 1024, 128, True)]:
+    # bk forces the k-split accumulator kernel (the auto trigger needs
+    # m>=2048/k>4096 — too slow for interpret mode, so force it here)
+    for m, k, n, use_bias, bk in [(832, 256, 512, True, None),
+                                  (100, 512, 256, False, None),
+                                  (64, 1024, 128, True, None),
+                                  (320, 2048, 128, True, 512),
+                                  (100, 2048, 128, False, 512)]:
         kx, kw, kb = jax.random.split(jax.random.fold_in(key, m * n), 3)
         x = jax.random.normal(kx, (m, k), jnp.float32)
         w = jax.random.normal(kw, (k, n), jnp.float32)
@@ -485,7 +490,7 @@ def test_w8a8_matmul_kernel():
         bias = jax.random.normal(kb, (n,), jnp.float32) if use_bias else None
 
         x_q, x_s = quantize_rows(x)
-        got = w8a8_matmul(x_q, x_s, w_q, w_s, bias=bias,
+        got = w8a8_matmul(x_q, x_s, w_q, w_s, bias=bias, bk=bk,
                           out_dtype=jnp.float32, interpret=True)
         acc = jax.lax.dot_general(x_q, w_q, (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.int32)
@@ -810,9 +815,18 @@ class TestDenseBiasFlash:
         ref = xla_attention(q, k, v, bias)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
 
-    def test_grads_match_xla(self, rng):
-        q, k, v = self._qkv(rng, b=1, h=2, lq=128, lk=128)
-        bias = jnp.asarray(rng.standard_normal((1, 2, 128, 128)).astype(np.float32))
+    @pytest.mark.parametrize("per_head,lq,lk", [
+        (True, 128, 128),
+        (False, 128, 128),   # shared bias: db accumulates over heads
+        (False, 250, 130),   # ragged: padded cols/rows must not leak into db
+    ])
+    def test_grads_match_xla(self, rng, per_head, lq, lk):
+        """Pallas dense-bias backward (dq/dkv/db kernels with bias
+        regeneration, VERDICT r3 item 9 — was an XLA recompute) == XLA vjp,
+        including the shared-across-heads db accumulation."""
+        q, k, v = self._qkv(rng, b=2, h=2, lq=lq, lk=lk)
+        shape = (2, 2 if per_head else 1, lq, lk)
+        bias = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
 
         def loss(fn):
             def inner(q_, k_, v_, b_):
@@ -829,7 +843,9 @@ class TestDenseBiasFlash:
             argnums=(0, 1, 2, 3),
         )(q, k, v, bias)
         for a, b in zip(g_f, g_x):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+            assert a.shape == b.shape
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4)
 
     def test_via_scaled_dot_product(self, rng):
         """The dispatch layer routes 4-D masks through the kernel now

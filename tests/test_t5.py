@@ -70,6 +70,49 @@ def test_t5_init_and_shapes():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.parametrize("mode", ["w8", "w8a8"])
+def test_t5_int8_quantization(mode):
+    """quantize_t5_params output stays close to the full-precision encode
+    (VERDICT r3 item 2: int8 weights make T5-XXL HBM-resident). Gates the
+    per-channel weight quant error end-to-end through 2 blocks, and that
+    only block linears are converted (embedding/norms/bias table intact)."""
+    import jax
+
+    from avatar_tpu.models.t5 import init_t5_encoder
+    from avatar_tpu.utils.quantize import quantize_t5_params
+
+    cfg = T5Config(
+        vocab_size=64, d_model=32, d_kv=8, d_ff=64, num_layers=2, num_heads=4,
+        relative_attention_num_buckets=8, relative_attention_max_distance=20,
+    )
+    params = init_t5_encoder(jax.random.PRNGKey(1), cfg)
+    q = quantize_t5_params(params, mode=mode)
+
+    key = "kernel_q8" if mode == "w8a8" else "kernel_q"
+    for block in q["blocks"]:
+        for lin in list(block["attn"].values()) + list(block["ff"].values()):
+            assert key in lin and lin[key].dtype == jnp.int8
+    assert q["shared"].dtype == params["shared"].dtype
+    assert q["rel_bias"] is params["rel_bias"]
+
+    ids = jnp.asarray(np.random.default_rng(2).integers(0, 64, (2, 12)),
+                      jnp.int32)
+    mask = jnp.ones((2, 12))
+    ref = np.asarray(t5_encode(params, cfg, ids, mask))
+    out = np.asarray(t5_encode(q, cfg, ids, mask))
+    # The 32-wide random-init config inflates per-matmul quant error vs
+    # the real 4096-wide XXL (fewer lanes to average over, kaiming-scale
+    # activations): measured mean-rel 5.2% w8 / 8.7% w8a8 at corr 0.9999 /
+    # 0.9998. Gate a modest envelope on both; the correlation bound is the
+    # structural check.
+    rel = np.abs(out - ref) / (np.abs(ref) + 1e-3)
+    assert np.mean(rel) < (0.13 if mode == "w8a8" else 0.08), np.mean(rel)
+    assert np.corrcoef(out.ravel(), ref.ravel())[0, 1] > 0.999
+
+    with pytest.raises(ValueError):
+        quantize_t5_params(params, mode="w4")
+
+
 def test_load_t5_encoder_from_directory(tmp_path):
     """Drive load_t5_encoder end-to-end from a local HF-style model
     directory (config.json + sharded safetensors under text_encoder/) —
