@@ -42,6 +42,9 @@ DEFAULT_BLOCK_KV = 1024
 _FUSE_L = True
 # Backward keeps more live block temporaries; cap blocks lower for VMEM.
 DEFAULT_BWD_BLOCK = 512
+# tiny-kv (cross-attention) q-block widening cap; swept on v5e at
+# Lq=5376 x Lk=256 (see _flash_forward)
+_TINY_KV_BLOCK_Q_CAP = 2688
 NEG_INF = -1e30
 LSE_MASKED = 1e30  # lse placeholder for fully-masked rows -> p == 0 in bwd
 
@@ -472,6 +475,19 @@ def _flash_forward(q, k, v, kv_mask, scale, block_q, block_kv,
             if (widest % mult == 0 and wide <= 2688
                     and block_q * wide <= 896 * 2688):
                 block_kv = wide
+                break
+    if lk_pad <= 256 and lq_pad > block_q:
+        # Tiny-kv shapes (DiT cross-attention: Lk=256 caption tokens):
+        # widen block_q toward _TINY_KV_BLOCK_Q_CAP (largest divisor of
+        # lq_pad) so fewer programs amortize per-program fixed cost.
+        # v5e sweep at Lq=5376 (same session): bq 896/1344/1792/2688 =
+        # 402/398/365/351 us — cap 2688 wins; the whole-q single-pass
+        # variant (bq=5376, no online scratch) measured WORSE (478 us:
+        # the materialized [Lq, Lk] f32 softmax chain is VMEM-pass-bound).
+        for mult in range(lq_pad // block_q, 1, -1):
+            wide = block_q * mult
+            if (lq_pad // block_q) % mult == 0 and wide <= _TINY_KV_BLOCK_Q_CAP:
+                block_q = wide
                 break
     bh = batch * heads
     num_q_blocks = lq_pad // block_q

@@ -39,6 +39,7 @@ ts = []
 for i in range(3):
     t0 = time.perf_counter(); float(jnp.sum(scan28(bp, h).astype(jnp.float32))); ts.append(time.perf_counter()-t0)
 print(f"scan28 (w8a8, 5376 tok): {min(ts)*1e3:.1f} ms", flush=True)
+os.system("rm -rf /tmp/xprof512")  # stale runs skew tools/opprof.py totals
 with jax.profiler.trace("/tmp/xprof512"):
     float(jnp.sum(scan28(bp, h).astype(jnp.float32)))
 print("trace done", flush=True)
