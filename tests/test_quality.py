@@ -57,13 +57,16 @@ def test_quality_gate_metrics(pipelines):
     pipe, pipe_q = pipelines
     m = compare(pipe, pipe_q, _gen_params(), seed=7)
     assert set(m) >= {"dit_latent_rel_err", "pixel_psnr_db", "pixel_ssim",
-                      "pixel_mean_abs", "vae_only_psnr_db"}
+                      "pixel_ms_ssim", "pixel_gmsd", "pixel_mean_abs",
+                      "vae_only_psnr_db"}
     # int8 quantization error must be present but bounded (tiny random
     # model; production thresholds live in tools/quality_w8a8.THRESHOLDS
     # and are asserted on-TPU at the 2B shape)
     assert 0.0 < m["dit_latent_rel_err"] < 0.25, m
     assert m["pixel_psnr_db"] > 18.0, m
     assert 0.5 < m["pixel_ssim"] <= 1.0, m
+    assert 0.5 < m["pixel_ms_ssim"] <= 1.0, m
+    assert 0.0 <= m["pixel_gmsd"] < 0.3, m
 
 
 def test_quality_gate_identity(pipelines):
@@ -75,17 +78,29 @@ def test_quality_gate_identity(pipelines):
     assert m["dit_latent_rel_err"] == 0.0
     assert m["pixel_psnr_db"] == float("inf")
     assert m["pixel_ssim"] == 1.0
+    assert m["pixel_ms_ssim"] == 1.0
+    assert m["pixel_gmsd"] == 0.0
 
 
 def test_ssim_psnr_helpers():
-    from quality_w8a8 import psnr, ssim
+    from quality_w8a8 import gmsd, ms_ssim, psnr, ssim
 
     rng = np.random.default_rng(0)
-    a = rng.integers(0, 255, (2, 16, 16, 3)).astype(np.uint8)
+    a = rng.integers(0, 255, (2, 64, 64, 3)).astype(np.uint8)
     assert psnr(a, a) == float("inf")
     assert abs(ssim(a, a) - 1.0) < 1e-9
+    assert abs(ms_ssim(a, a) - 1.0) < 1e-9
+    assert gmsd(a, a) == 0.0
     b = np.clip(a.astype(np.int32)
                 + rng.integers(-10, 10, a.shape), 0, 255).astype(np.uint8)
     p = psnr(a, b)
     assert 20 < p < 40
     assert 0 < ssim(a, b) < 1
+    assert 0 < ms_ssim(a, b) < 1
+    assert 0 < gmsd(a, b) < 0.5
+    # perceptual monotonicity: a strongly distorted copy must score worse
+    # on every metric than the lightly distorted one
+    c = np.clip(a.astype(np.int32)
+                + rng.integers(-60, 60, a.shape), 0, 255).astype(np.uint8)
+    assert ms_ssim(a, c) < ms_ssim(a, b)
+    assert gmsd(a, c) > gmsd(a, b)
