@@ -49,6 +49,12 @@ class InferenceConfig:
     flame_template: str = "preprocessing/FLAME_template.npy"
     # precomputed prompt embeddings (for environments without the T5 weights)
     prompt_embeds_path: Optional[str] = None
+    # long-video windowed generation (pipelines/long_video.py): when
+    # window_frames > 0 and num_frames exceeds it, generate overlapping
+    # windows with pixel-space handoff instead of one giant denoise.
+    # 0 = take the value from the pipeline yaml (overlap default: 9)
+    window_frames: int = 0
+    overlap_frames: int = 0
 
 
 def load_pipeline_config(pipeline_config: str) -> dict:
@@ -255,6 +261,9 @@ def infer(config: InferenceConfig):
         stochastic_sampling=pipeline_config.get("stochastic_sampling", False),
         image_cond_noise_scale=config.image_cond_noise_scale,
         cfg_star_rescale=pipeline_config.get("cfg_star_rescale", False),
+        # "heun": 2nd-order ODE solver — halve num_inference_steps at
+        # roughly equal cost/accuracy (pipelines/pipeline.py solver docs)
+        solver=pipeline_config.get("solver", "euler"),
     )
 
     media_items = None
@@ -265,15 +274,51 @@ def infer(config: InferenceConfig):
             )
         )
 
-    images = pipeline(
-        params,
-        jax.random.PRNGKey(config.seed),
-        embeds, mask, neg_embeds, neg_mask,
-        media_items=media_items,
-        ref_image=jnp.asarray(conditioning[0]) if conditioning else None,
-        pose_frames=jnp.asarray(conditioning[1]) if len(conditioning) > 1 else None,
-        output_type="uint8",  # device-side quantization (4x smaller fetch)
-    )
+    window = config.window_frames or pipeline_config.get("window_frames", 0)
+    if window and config.num_frames > window:
+        # windowed long-video path: n overlapping fixed-shape windows reuse
+        # ONE compiled denoiser; cost is linear in length
+        from avatar_tpu.pipelines import LongVideoParams, generate_long_video
+
+        if pipeline_config.get("pipeline_type") == "multi-scale":
+            raise ValueError(
+                "long-video windowing does not compose with the multi-scale "
+                "pipeline; drop window_frames or pipeline_type"
+            )
+        if media_items is not None:
+            raise ValueError(
+                "long-video windowing does not take input_media_path"
+            )
+        long = LongVideoParams(
+            num_frames=config.num_frames,
+            window_frames=window,
+            overlap_frames=(
+                config.overlap_frames  # CLI wins when set
+                or pipeline_config.get("overlap_frames") or 9
+            ),
+        )
+        images = generate_long_video(
+            pipeline, params, long, jax.random.PRNGKey(config.seed),
+            embeds, mask,
+            negative_prompt_embeds=neg_embeds,
+            negative_prompt_attention_mask=neg_mask,
+            ref_image=jnp.asarray(conditioning[0]) if conditioning else None,
+            pose_frames=(
+                jnp.asarray(conditioning[1])
+                if len(conditioning) > 1 else None
+            ),
+            output_type="uint8",
+        )
+    else:
+        images = pipeline(
+            params,
+            jax.random.PRNGKey(config.seed),
+            embeds, mask, neg_embeds, neg_mask,
+            media_items=media_items,
+            ref_image=jnp.asarray(conditioning[0]) if conditioning else None,
+            pose_frames=jnp.asarray(conditioning[1]) if len(conditioning) > 1 else None,
+            output_type="uint8",  # device-side quantization (4x smaller fetch)
+        )
 
     # crop padding + trim to requested frames (inference.py:479-492)
     video = unpad_media(np.asarray(images), padding)[:, : config.num_frames]
@@ -304,6 +349,8 @@ def main():
         ("faceformer_checkpoint", str, InferenceConfig.faceformer_checkpoint, ""),
         ("flame_template", str, InferenceConfig.flame_template, ""),
         ("prompt_embeds_path", str, None, "Precomputed T5 embeddings"),
+        ("window_frames", int, 0, "Long video: frames per window (%8==1)"),
+        ("overlap_frames", int, 0, "Long video: handoff overlap (%8==1)"),
     ]:
         parser.add_argument(f"--{f_name}", type=f_type, default=default, help=helptext)
     parser.add_argument(

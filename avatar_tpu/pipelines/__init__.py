@@ -6,6 +6,11 @@ from avatar_tpu.pipelines.pipeline import (
     adain_filter_latent,
     tone_map_latents,
 )
+from avatar_tpu.pipelines.long_video import (
+    LongVideoParams,
+    generate_long_video,
+    window_starts,
+)
 
 __all__ = [
     "AvatarServer",
@@ -13,6 +18,9 @@ __all__ = [
     "ConditioningItem",
     "GenerationParams",
     "LTXVideoPipeline",
+    "LongVideoParams",
     "adain_filter_latent",
+    "generate_long_video",
     "tone_map_latents",
+    "window_starts",
 ]

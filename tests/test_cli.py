@@ -421,3 +421,70 @@ def test_generate_faceformer_frames_e2e(tmp_path):
 
     img = np.asarray(Image.open(frames[0]).convert("RGB"))
     assert img.shape == (64, 64, 3) and img.max() > 100
+
+
+def test_infer_cli_long_video(tmp_path, synthetic_ckpt):
+    """Full infer() e2e through the long-video windowed path: precomputed
+    prompt embeds, ref image + 25-frame pose dir (num_frames follows the
+    pose dir, inference.py:365 parity), window_frames=17 -> two overlapping
+    windows -> one stitched 25-frame mp4."""
+    from PIL import Image
+
+    from avatar_tpu.cli.infer import InferenceConfig, infer
+
+    ckpt_path, dit_cfg, _ = synthetic_ckpt
+    rng = np.random.default_rng(5)
+
+    ref_path = tmp_path / "ref.png"
+    Image.fromarray(
+        rng.integers(0, 255, (64, 64, 3), dtype=np.uint8), "RGB"
+    ).save(ref_path)
+    pose_dir = tmp_path / "pose"
+    pose_dir.mkdir()
+    for i in range(25):
+        Image.fromarray(
+            rng.integers(0, 255, (64, 64, 3), dtype=np.uint8), "RGB"
+        ).save(pose_dir / f"frame_{i:04d}.png")
+
+    embeds_path = tmp_path / "embeds.safetensors"
+    save_safetensors(
+        {
+            "prompt_embeds": rng.normal(
+                size=(1, 8, dit_cfg.caption_channels)
+            ).astype(np.float32),
+            "prompt_attention_mask": np.ones((1, 8), np.float32),
+        },
+        embeds_path,
+    )
+
+    cfg_path = tmp_path / "pipeline.yaml"
+    cfg_path.write_text(yaml.safe_dump({
+        "checkpoint_path": str(ckpt_path),
+        "precision": "float32",
+        "sampler": "from_checkpoint",
+        "num_inference_steps": 2,
+        "guidance_scale": 1.0,
+        "stg_scale": 0.0,
+        "rescaling_scale": 1.0,
+        "decode_timestep": 0.05,
+        "overlap_frames": 9,
+    }))
+
+    out_dir = infer(InferenceConfig(
+        prompt="",
+        output_path=str(tmp_path / "out"),
+        pipeline_config=str(cfg_path),
+        seed=7, height=64, width=64, frame_rate=20,
+        conditioning_media_paths=[str(ref_path), str(pose_dir)],
+        prompt_embeds_path=str(embeds_path),
+        window_frames=17,
+    ))
+    videos = list(out_dir.glob("*.mp4"))
+    assert len(videos) == 1
+    assert "x25" in videos[0].name  # trimmed to the pose-dir frame count
+
+    from avatar_tpu.data.media import read_video_frames
+
+    frames = list(read_video_frames(videos[0]))
+    assert len(frames) == 25
+    assert frames[0].shape == (64, 64, 3)
