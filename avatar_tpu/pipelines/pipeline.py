@@ -756,24 +756,18 @@ class LTXVideoPipeline:
                     # corrector sees what step i+1 would see. The final
                     # step (to sigma 0) stays plain Euler — the EDM/
                     # k-diffusion convention: the velocity net is never
-                    # trained at sigma=0 and its value there only pollutes
-                    # the trapezoid (measured on the tiny fixture:
-                    # correcting the last step doubles the error).
+                    # trained at sigma=0. Blended with `where`, not
+                    # lax.cond: the denoiser must stay SPMD-safe when
+                    # guided_velocity carries collectives (pp/sp meshes)
+                    # or Pallas calls, and the waste is one extra model
+                    # eval on the single terminal step.
                     t_next = sigmas_ext[i + 1]
-
-                    def _corrected(args):
-                        pred, latents, token_t = args
-                        x_e = rf_step(sigmas, pred, token_t, latents)
-                        if has_cond_mask:
-                            keep_e = (t - T_EPS < (1.0 - cond_mask))[..., None]
-                            x_e = jnp.where(keep_e, x_e, latents)
-                        pred2, _ = guided_velocity(x_e, t_next)
-                        return 0.5 * (pred + pred2)
-
-                    pred = jax.lax.cond(
-                        t_next > 0.0, _corrected,
-                        lambda args: args[0], (pred, latents, token_t),
-                    )
+                    x_e = rf_step(sigmas, pred, token_t, latents)
+                    if has_cond_mask:
+                        keep_e = (t - T_EPS < (1.0 - cond_mask))[..., None]
+                        x_e = jnp.where(keep_e, x_e, latents)
+                    pred2, _ = guided_velocity(x_e, t_next)
+                    pred = jnp.where(t_next > 0.0, 0.5 * (pred + pred2), pred)
 
                 k_step = jax.random.fold_in(key, 2 * i + 1)
                 denoised = rf_step(

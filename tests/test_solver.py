@@ -187,3 +187,58 @@ def test_heun_with_cfg_stg(pipeline):
         pipeline(p, jax.random.PRNGKey(0), embeds, mask, dtype=jnp.float32)
     )
     assert np.isfinite(out).all()
+
+
+@pytest.mark.parametrize("mode", ["sp", "pp"])
+def test_heun_matches_unsharded_on_mesh(mode):
+    """The heun walk under sp (ring) / pp meshes bit-matches the unsharded
+    heun walk — the corrector's second guided_velocity eval carries the
+    meshes' collectives, so it must not sit behind data-dependent control
+    flow (pipeline.py blends with `where`, not lax.cond)."""
+    from jax.sharding import Mesh
+
+    from avatar_tpu.parallel.pipeline import make_pp_mesh
+
+    vae_cfg = dataclasses.replace(
+        demo_config(latent_channels=8), base_channels=32,
+        decoder_base_channels=32,
+    )
+    dit_cfg = DiTConfig(
+        num_attention_heads=8, attention_head_dim=8, in_channels=8,
+        out_channels=8, num_layers=4, cross_attention_dim=64,
+        caption_channels=32,
+    )
+    vae_params = init_vae(jax.random.PRNGKey(0), vae_cfg)
+    dit_params = init_dit(jax.random.PRNGKey(1), dit_cfg)
+    sched = RectifiedFlowSchedule.create(sampler="Uniform")
+
+    def build(sharded):
+        kw = {}
+        if sharded and mode == "sp":
+            kw = dict(
+                sp_mesh=Mesh(
+                    np.asarray(jax.devices()[:4]).reshape(4), ("sp",)
+                ),
+                sp_impl="ring",
+            )
+        elif sharded:
+            kw = dict(
+                pp_mesh=make_pp_mesh(pp=4, data=1, devices=jax.devices()[:4])
+            )
+        return LTXVideoPipeline(
+            dit_cfg, dit_params, vae_cfg, vae_params, schedule=sched,
+            attention_impl="xla", **kw,
+        )
+
+    p = GenerationParams(
+        height=H, width=W, num_frames=FRAMES, frame_rate=25.0,
+        num_inference_steps=3, guidance_scale=2.0, stg_scale=1.0,
+        rescaling_scale=0.7, skip_block_list=[1], solver="heun",
+    )
+    embeds = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 32))
+    mask = jnp.ones((1, 8))
+    args = (p, jax.random.PRNGKey(0), embeds, mask)
+    kw = dict(output_type="latent", dtype=jnp.float32)
+    base = np.asarray(build(False)(*args, **kw))
+    sharded = np.asarray(build(True)(*args, **kw))
+    np.testing.assert_allclose(sharded, base, atol=3e-5)
