@@ -57,6 +57,7 @@ def _params(**kw):
     return GenerationParams(**base)
 
 
+@pytest.mark.smoke
 def test_unconditional_generation(pipeline):
     embeds, mask = _prompt()
     out = pipeline(

@@ -12,6 +12,8 @@ import pytest
 
 from avatar_tpu.diffusion import RectifiedFlowSchedule, rf_step
 
+pytestmark = pytest.mark.smoke
+
 
 def init_latents_and_schedule(sampler, rng):
     batch_size, n_tokens, n_channels = 2, 4096, 128

@@ -31,6 +31,8 @@ from avatar_tpu.models.dit import DiTConfig, init_dit
 from avatar_tpu.models.vae import demo_config, init_vae
 from avatar_tpu.pipelines import ConditioningItem, GenerationParams, LTXVideoPipeline
 
+pytestmark = pytest.mark.smoke
+
 H = W = 64
 FRAMES = 9
 

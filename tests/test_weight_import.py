@@ -27,6 +27,8 @@ from avatar_tpu.utils.weight_import import (
     save_single_file_checkpoint,
 )
 
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture(scope="module")
 def tiny_dit():
