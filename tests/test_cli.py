@@ -278,6 +278,73 @@ def test_pipeline_config_yamls_load():
     assert tc.sharding_mode == "dp" and tc.pp_stages == 1  # pp opt-in only
 
 
+_SHIPPED_YAMLS = sorted(
+    p for p in __import__("pathlib").Path("configs").glob("*.yaml")
+)
+
+
+@pytest.mark.parametrize(
+    "config_path", _SHIPPED_YAMLS, ids=lambda p: p.stem,
+)
+def test_every_shipped_config_runs_generation(tmp_path, config_path,
+                                              synthetic_ckpt):
+    """Reference tests/test_configs.py:15-30 semantics: every shipped yaml
+    goes through the real CLI generate path end-to-end. The real 2B
+    checkpoint is not downloadable here, so the sweep overrides ONLY the
+    environment-bound knobs (checkpoint path, steps, skip_block_list layer
+    index, geometry) and keeps every behavioral knob — guidance/stg scales,
+    stg_mode, rescaling, sampler, decode timestep/noise — as shipped."""
+    cfg = yaml.safe_load(config_path.read_text())
+    if "optimizer" in cfg or config_path.stem.startswith("train"):
+        # the training operating point goes through the train loader + a
+        # 1-epoch loop elsewhere (test_train_cli_and_resume); here just
+        # assert the shipped file loads through the real loader.
+        from avatar_tpu.core.config import load_train_config_from_yaml
+
+        tc = load_train_config_from_yaml(str(config_path))
+        assert tc.batch_size > 0
+        return
+
+    from avatar_tpu.cli.infer import InferenceConfig, infer
+
+    ckpt_path, dit_cfg, _ = synthetic_ckpt
+    cfg["checkpoint_path"] = str(ckpt_path)
+    cfg.pop("vae_checkpoint_path", None)  # single-file ckpt carries the VAE
+    cfg["precision"] = "float32"
+    cfg["num_inference_steps"] = 2
+    if cfg.get("skip_block_list"):
+        # shipped index 19 targets the 28-layer 2B model; remap into the
+        # tiny fixture's layer range, keeping STG exercise intact
+        cfg["skip_block_list"] = [dit_cfg.num_layers - 1]
+    tmp_yaml = tmp_path / config_path.name
+    tmp_yaml.write_text(yaml.safe_dump(cfg))
+
+    rng = np.random.default_rng(11)
+    embeds_path = tmp_path / "embeds.safetensors"
+    save_safetensors(
+        {
+            "prompt_embeds": rng.normal(
+                size=(1, 8, dit_cfg.caption_channels)
+            ).astype(np.float32),
+            "prompt_attention_mask": np.ones((1, 8), np.float32),
+        },
+        embeds_path,
+    )
+    out_dir = infer(InferenceConfig(
+        prompt="A video of a cat playing with a ball.",
+        output_path=str(tmp_path / "out"),
+        pipeline_config=str(tmp_yaml),
+        seed=7, height=64, width=64, num_frames=9, frame_rate=20,
+        prompt_embeds_path=str(embeds_path),
+    ))
+    videos = list(out_dir.glob("*.mp4"))
+    assert len(videos) == 1, (config_path.stem, list(out_dir.iterdir()))
+    from avatar_tpu.data.media import read_video_frames
+
+    frames = list(read_video_frames(videos[0]))
+    assert len(frames) == 9 and frames[0].shape == (64, 64, 3)
+
+
 def test_media_io_roundtrip(tmp_path):
     from PIL import Image
 
