@@ -82,6 +82,83 @@ def test_quality_gate_identity(pipelines):
     assert m["pixel_gmsd"] == 0.0
 
 
+def test_heun_equal_nfe_perceptual_gate(pipelines):
+    """Perceptual gate for the Heun solver (VERDICT r4 item 6a): at equal
+    NFE (euler 7 velocity evals vs heun 4 -> 2*4-1 = 7) the two walks
+    integrate the same ODE, so their outputs must stay perceptually close —
+    a corrector bug (sign, wrong sigma pairing, broken final-step Euler
+    convention) diverges far beyond these bands. Calibrated on the fixture:
+    ms_ssim 0.974 / gmsd 0.076; an adjacent-step euler pair (7 vs 8) scores
+    0.990 / 0.047, so the gate sits well outside solver-noise but far from
+    a broken path."""
+    from quality_w8a8 import gmsd, ms_ssim
+
+    import jax.numpy as jnp
+
+    pipe, _ = pipelines
+    embeds = jax.random.normal(jax.random.PRNGKey(11), (1, 8, 32))
+    mask = jnp.ones((1, 8))
+
+    def run(steps, solver):
+        gp = dataclasses.replace(
+            _gen_params(), num_inference_steps=steps, solver=solver
+        )
+        return np.asarray(pipe(gp, jax.random.PRNGKey(3), embeds, mask,
+                               output_type="uint8", dtype=jnp.float32))
+
+    out_euler = run(7, "euler")
+    out_heun = run(4, "heun")
+    assert not np.array_equal(out_euler, out_heun)  # heun changes the walk
+    assert ms_ssim(out_euler[0], out_heun[0]) > 0.90
+    assert gmsd(out_euler[0], out_heun[0]) < 0.15
+
+
+def test_long_video_seam_perceptual_gate(pipelines):
+    """Perceptual gate for windowed long-video stitching (VERDICT r4 item
+    6b): frame-to-frame transition scores in the seam regions (the overlap
+    span around each window handoff) must sit inside the within-window
+    transition distribution. On a random init both distributions are rough
+    but MATCHED (calibrated: seam/within mean gmsd 0.218/0.217, max
+    0.226/0.230); a handoff regression — black/garbage frame at the stitch,
+    off-by-one splice, un-blended hard cut — spikes the seam side only."""
+    import jax.numpy as jnp
+
+    from avatar_tpu.pipelines import LongVideoParams, generate_long_video
+    from quality_w8a8 import gmsd, ms_ssim
+
+    pipe, _ = pipelines
+    embeds = jax.random.normal(jax.random.PRNGKey(11), (1, 8, 32))
+    mask = jnp.ones((1, 8))
+    gp = dataclasses.replace(
+        _gen_params(), height=32, width=32, num_frames=17,
+        num_inference_steps=2,
+    )
+    long = LongVideoParams(num_frames=33, window_frames=17, overlap_frames=9)
+    out = np.asarray(generate_long_video(
+        pipe, gp, long, jax.random.PRNGKey(5), embeds, mask,
+        output_type="uint8", dtype=jnp.float32,
+    ))[0]  # [33, 32, 32, 3]
+    assert out.shape[0] == 33
+
+    trans_gmsd = np.array([gmsd(out[t], out[t + 1]) for t in range(32)])
+    trans_ssim = np.array([ms_ssim(out[t], out[t + 1]) for t in range(32)])
+    seam_ts = sorted(
+        {t for start in (8, 16) for t in range(start - 1, start + 9)}
+    )
+    within_ts = [t for t in range(32) if t not in seam_ts]
+    seam_g, win_g = trans_gmsd[seam_ts], trans_gmsd[within_ts]
+    seam_s, win_s = trans_ssim[seam_ts], trans_ssim[within_ts]
+
+    # no seam transition is an outlier vs within-window motion
+    assert seam_g.max() <= win_g.max() * 1.3 + 1e-6, (seam_g.max(), win_g.max())
+    assert seam_g.mean() <= win_g.mean() * 1.15, (seam_g.mean(), win_g.mean())
+    assert seam_s.mean() >= win_s.mean() - 0.10, (seam_s.mean(), win_s.mean())
+    # and no dead/duplicated frame at the stitch points themselves
+    for start in (8, 16):
+        assert out[start].std() > 1.0  # not a black/constant frame
+        assert not np.array_equal(out[start - 1], out[start])
+
+
 def test_ssim_psnr_helpers():
     from quality_w8a8 import gmsd, ms_ssim, psnr, ssim
 
