@@ -252,7 +252,7 @@ def _fwd_kernel_bounded(
     ``fuse_l``: d < 128 — the denominator rides the PV matmul as a
     ones-column of v (see :func:`_extend_v_ones`); with the pow2 scale
     pre-folded into q the per-logit VPU work drops to exp+clamp+cast
-    (80.5 -> 87 TF/s at L=5376 on v5e, tools/sweep_512.py)."""
+    (80.5 -> 87 TF/s at L=5376 on v5e, tools/archive/sweep_512.py)."""
     kv_idx = pl.program_id(2)
     if fuse_l:
         (acc_scratch,) = scratch

@@ -69,7 +69,7 @@ def _pick_bm(m: int, k: int) -> int:
     # scoped limit even at K=8192.  Among feasible sizes prefer the one
     # minimizing ragged-edge padding waste (ties -> larger block): 5376
     # rows run 896-row blocks (6 exact, 371 TOP/s) instead of 1024-row
-    # blocks (5.25 -> 6 padded, 326 TOP/s) — tools/sweep_512.py.
+    # blocks (5.25 -> 6 padded, 326 TOP/s) — tools/archive/sweep_512.py.
     cap = max(256, (2 * 2**20) // k)
     if m <= cap:
         return m
@@ -94,7 +94,7 @@ def w8a8_matmul(
     bias: Optional[jnp.ndarray] = None,  # [N]
     out_dtype=jnp.bfloat16,
     interpret: Optional[bool] = None,
-    bm: Optional[int] = None,  # block-size overrides (tools/sweep_512.py)
+    bm: Optional[int] = None,  # block-size overrides (tools/archive/sweep_512.py)
     bn: Optional[int] = None,
     bk: Optional[int] = None,  # K tile; enables the k-split accumulator
 ) -> jnp.ndarray:

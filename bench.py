@@ -546,7 +546,7 @@ def main():
     # fps: forced-completion scalar fetch, not the frame pull.  The pipelined
     # wall-clock used for the headline under-reports batched runs here because
     # the tunnel D2H fetch of batch*97 frames stops overlapping at 2 videos in
-    # flight (device-side probe: b1/b2/b4 = 104/108/112 f/s, tools/probe_batch.py).
+    # flight (device-side probe: b1/b2/b4 = 104/108/112 f/s, tools/archive/probe_batch.py).
     for batch in (2, 4):
         inputs_b = make_inputs(batch, h, w, num_frames, t5_embeds, t5_mask)
         try:
