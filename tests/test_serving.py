@@ -102,6 +102,49 @@ def test_bucket_isolation_and_errors(pipeline):
     assert server.stats["batches"] >= 2
 
 
+def test_media_latent_cache(pipeline):
+    """Avatar media are VAE-encoded once per distinct host array and reused
+    as cached latents; results are batch-composition independent."""
+    rng = np.random.default_rng(3)
+    ref = rng.standard_normal((1, 1, H, W, 3)).astype(np.float32)
+    pose = rng.standard_normal((1, FRAMES, H, W, 3)).astype(np.float32)
+
+    def req(seed):
+        r = _request(seed=seed)
+        r.ref_image = ref
+        r.pose_frames = pose
+        return r
+
+    server = AvatarServer(pipeline, max_batch=4, batch_window_s=0.5)
+    futs = [server.submit(req(seed=i)) for i in range(3)]
+    vids = [f.result(timeout=600) for f in futs]
+    server.shutdown()
+    # one encode per distinct media array (ref + pose), the rest cache hits
+    assert server._media_cache.misses == 2
+    assert server._media_cache.hits == 4
+    for v in vids:
+        assert v.shape == (FRAMES, H, W, 3)
+        assert np.isfinite(v).all()
+    assert not np.allclose(vids[0], vids[1])  # per-request noise still rules
+
+    # a solo-batched server produces identical output for the same request:
+    # cached conditioning is independent of batch composition
+    solo = AvatarServer(pipeline, max_batch=1, batch_window_s=0.0)
+    alone = solo.submit(req(seed=0)).result(timeout=600)
+    solo.shutdown()
+    np.testing.assert_allclose(vids[0], alone, atol=1e-5)
+
+    # cache disabled -> legacy pixel path still works
+    legacy = AvatarServer(
+        pipeline, max_batch=4, batch_window_s=0.5, media_cache_size=0
+    )
+    out = legacy.submit(req(seed=0)).result(timeout=600)
+    legacy.shutdown()
+    assert legacy._media_cache.misses == 0
+    assert out.shape == (FRAMES, H, W, 3)
+    assert np.isfinite(out).all()
+
+
 def test_dp_mesh_serving(pipeline):
     """A dp_mesh pipeline serves correctly: batches are padded to the mesh
     axis size, outputs match the single-device pipeline per request."""
