@@ -107,12 +107,17 @@ def quantize_t5_params(params: dict, mode: str = "w8") -> dict:
     drops 9.52 -> 4.76 GB of weights (+0.26 GB bf16 embedding table),
     which fits v5e HBM *beside* the DiT + VAE instead of the
     encode-then-free pattern the bf16 footprint forces (bench.py
-    t5_stage). The 256-token encode is weight-read-bound (batch 1-8 rows
-    per MXU pass), so halving weight bytes also ~halves encode latency —
-    unlike the DiT, where w8 buys only footprint.
+    t5_stage). Speed-NEUTRAL for the encode: at M=256 the bf16 matmul's
+    HBM ceiling equals its MXU ceiling (~12 ms for the 4.76B weight
+    pass), so XLA's fused dequant just shifts the dot from HBM-bound
+    (689 GB/s) to compute-bound (173 TF/s) at the same latency
+    (xprof-measured on v5e, round 5).
 
-    mode="w8a8": adds dynamic per-token activation quant (int8 MXU dot);
-    only worth it for large-batch offline prompt encoding.
+    mode="w8a8": adds dynamic per-token activation quant (int8 MXU dot,
+    303 TF/s measured at the encode shapes) — the LATENCY tool, same
+    int8 footprint: 256-token encode 22.0 -> 14.0 ms/call pipelined
+    (19.0 -> 13.4 ms device-side). bench.py keeps this variant
+    HBM-resident for the serving rows.
 
     Norms, the relative-position bias table, and the ``shared`` embedding
     stay full precision (the embedding is a gather, not a matmul; 0.26 GB

@@ -170,22 +170,41 @@ def t5_stage():
     out = enc(params, ids, mask)
     float(jnp.sum(out.astype(jnp.float32)))  # compile + first run
 
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        o = enc(params, ids, mask)
-        float(jnp.sum(o.astype(jnp.float32)))  # scalar fetch, not bulk D2H
-        ts.append(time.perf_counter() - t0)
-    t5_s = min(ts)
+    def time_encode(p):
+        """(sync_s, pipelined_s): sync includes the ~25 ms axon tunnel
+        dispatch+fetch round trip per call; pipelined (8 dispatches, one
+        tail scalar fetch) is the steady-state serving number and tracks
+        the xprof device time within ~15%."""
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            o = enc(p, ids, mask)
+            float(jnp.sum(o.astype(jnp.float32)))  # scalar, not bulk D2H
+            ts.append(time.perf_counter() - t0)
+        sync = min(ts)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = [enc(p, ids, mask) for _ in range(8)]
+            float(jnp.sum(outs[-1].astype(jnp.float32)))
+            ts.append((time.perf_counter() - t0) / 8)
+        return sync, min(ts)
+
+    t5_s, t5_piped_s = time_encode(params)
 
     embeds = out.astype(jnp.bfloat16)  # independent buffer; bf16 master goes
-    del out, o
+    del out
 
     # int8 residency: quantize on device (donating the bf16 tree) and
-    # re-measure the encode — the 256-token forward is weight-read-bound,
-    # so int8 weights also ~halve its latency.
+    # re-measure the encode. Mode is w8a8, not w8: at M=256 the bf16
+    # matmul's HBM ceiling equals its MXU ceiling (~12 ms), so halving
+    # weight bytes alone buys nothing (xprof: the dequant fuses but the
+    # fused dot turns compute-bound at the same 173 TF/s). The int8 MXU
+    # path (act quant + int8 dot, 303 TF/s measured) is what actually
+    # cuts the encode: 22.0 -> 14.0 ms/encode pipelined. Footprint is the
+    # same int8 weights either way.
     t0 = time.perf_counter()
-    params_q = jax.jit(lambda p: quantize_t5_params(p, mode="w8"),
+    params_q = jax.jit(lambda p: quantize_t5_params(p, mode="w8a8"),
                        donate_argnums=0)(params)
     float(jnp.sum(params_q["final_norm"].astype(jnp.float32)))
     quant_s = time.perf_counter() - t0
@@ -195,27 +214,25 @@ def t5_stage():
     gc.collect()
     o = enc(params_q, ids, mask)
     float(jnp.sum(o.astype(jnp.float32)))  # compile
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        o = enc(params_q, ids, mask)
-        float(jnp.sum(o.astype(jnp.float32)))
-        ts.append(time.perf_counter() - t0)
-    t5_q_s = min(ts)
     del o
+    t5_q_s, t5_q_piped_s = time_encode(params_q)
 
     int8_bytes = sum(
         p.size * p.dtype.itemsize for p in jax.tree.leaves(params_q)
     )
     stats = {
         "t5_encode_ms": round(t5_s * 1e3, 2),
+        "t5_encode_pipelined_ms": round(t5_piped_s * 1e3, 2),
         "t5_int8_encode_ms": round(t5_q_s * 1e3, 2),
+        "t5_int8_encode_pipelined_ms": round(t5_q_piped_s * 1e3, 2),
+        "t5_int8_mode": "w8a8 (int8 MXU dot; w8 measured speed-neutral — "
+                        "bf16 HBM ceiling == bf16 MXU ceiling at M=256)",
         "t5_params_b": n_params,
         "t5_hbm_gb_bf16": round(n_params * 2 / 1e9, 2),
         "t5_hbm_gb_int8": round(int8_bytes / 1e9, 2),
         "t5_init_s": round(init_s, 1),
         "t5_quantize_s": round(quant_s, 1),
-        "resident": "int8 weight-only, HBM-resident beside DiT+VAE at "
+        "resident": "int8 w8a8, HBM-resident beside DiT+VAE at "
                     "256px (bf16 XXL was encode-then-free; see "
                     "t5_resident row)",
     }
