@@ -431,7 +431,9 @@ def _feed_forward(
     ):
         from avatar_tpu.ops.attention import tpu_backend
 
-        if h.shape[0] * h.shape[1] >= 2048 and tpu_backend():
+        from avatar_tpu.ops.int8_matmul import W8A8_PALLAS_MIN_TOKENS
+
+        if h.shape[0] * h.shape[1] >= W8A8_PALLAS_MIN_TOKENS and tpu_backend():
             # Long-sequence W8A8: activation + row quant in one Pallas pass
             # over the [N, 8192] mid-activations — the widest elementwise
             # site in the block (~300 MB/block of HBM as separate XLA
@@ -485,11 +487,13 @@ def _block_apply(
     def _tokens(t):
         return t.shape[0] * t.shape[1] if t.ndim == 3 else 0
 
+    from avatar_tpu.ops.int8_matmul import W8A8_PALLAS_MIN_TOKENS
+
     if (
         cfg.standardization_norm == "rms_norm"
         and cfg.adaptive_norm in ("single_scale_shift", "single_scale")
         and timestep.shape[1] == 1
-        and _tokens(x) >= 2048
+        and _tokens(x) >= W8A8_PALLAS_MIN_TOKENS
         and "kernel_q8" in params["attn1"]["to_q"]
         and skip_layer_mask is None
         and lora is None

