@@ -623,6 +623,7 @@ def dit_apply(
     cross_kv: Optional[Sequence[Tuple[jnp.ndarray, jnp.ndarray]]] = None,
     sp_axis: Optional[str] = None,
     sp_impl: str = "ulysses",
+    timestep_tables: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> jnp.ndarray:
     """Transformer3DModel.forward (transformer3d.py:361-565) minus the avatar
     lerp (see :func:`avatar_condition_tokens`). Returns velocity tokens
@@ -635,12 +636,15 @@ def dit_apply(
     :func:`precompute_cross_attention_kv`; when given,
     ``encoder_hidden_states`` is ignored by the blocks (the caption
     projection and k/v projections already happened once per run).
+    ``timestep_tables``: precomputed AdaLN embeds for this timestep
+    (:func:`precompute_timestep_tables`); ``timestep`` is then unused.
     """
     x, freqs_cis, ada_timestep, embedded_timestep, encoder_hidden_states = (
         _dit_prologue(
             params, cfg, hidden_states, indices_grid, timestep,
             encoder_hidden_states, freqs_cis=freqs_cis, rope_split=rope_split,
             cross_kv_given=cross_kv is not None,
+            timestep_tables=timestep_tables,
         )
     )
 
@@ -690,19 +694,25 @@ def _dit_prologue(
     freqs_cis=None,
     rope_split: bool = False,
     cross_kv_given: bool = False,
+    timestep_tables: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ):
     """Everything before the transformer blocks: token projection, RoPE
     frequencies, AdaLN-single timestep embedding, caption projection
     (transformer3d.py:470-499).  Shared by :func:`dit_apply` and the
     pipeline-parallel schedule (parallel/pipeline.py), whose stages only run
-    blocks."""
+    blocks.
+
+    ``timestep_tables``: precomputed (ada_timestep [B, T, n_ada*inner],
+    embedded_timestep [B, T, inner]) for THIS call's timestep — step loops
+    with a fixed sigma schedule precompute the whole schedule's tables once
+    outside the loop (:func:`precompute_timestep_tables`) and index per
+    step, removing the embedder's ~15-op chain from every step."""
     b = hidden_states.shape[0]
     inner = cfg.inner_dim
     dtype = hidden_states.dtype
 
     x = linear(params["patchify_proj"], hidden_states)
 
-    t = timestep * cfg.timestep_scale_multiplier
     if freqs_cis is None:
         # callers in step loops should precompute once (loop-invariant)
         freqs_cis = precompute_freqs_cis(
@@ -714,15 +724,21 @@ def _dit_prologue(
         if rope_split:
             freqs_cis = split_freqs(freqs_cis)
 
-    # AdaLayerNormSingle: shared embedding + linear to n_ada * inner.
-    embedded_timestep = timestep_embedder(
-        params["adaln_single"]["emb"], t.reshape(-1), dtype=dtype
-    )  # [B*T, inner]
-    ada_timestep = linear(
-        params["adaln_single"]["linear"], jax.nn.silu(embedded_timestep)
-    )
-    ada_timestep = ada_timestep.reshape(b, -1, ada_timestep.shape[-1])
-    embedded_timestep = embedded_timestep.reshape(b, -1, inner)
+    if timestep_tables is not None:
+        ada_timestep, embedded_timestep = timestep_tables
+        ada_timestep = ada_timestep.astype(dtype)
+        embedded_timestep = embedded_timestep.astype(dtype)
+    else:
+        t = timestep * cfg.timestep_scale_multiplier
+        # AdaLayerNormSingle: shared embedding + linear to n_ada * inner.
+        embedded_timestep = timestep_embedder(
+            params["adaln_single"]["emb"], t.reshape(-1), dtype=dtype
+        )  # [B*T, inner]
+        ada_timestep = linear(
+            params["adaln_single"]["linear"], jax.nn.silu(embedded_timestep)
+        )
+        ada_timestep = ada_timestep.reshape(b, -1, ada_timestep.shape[-1])
+        embedded_timestep = embedded_timestep.reshape(b, -1, inner)
 
     if cross_kv_given:
         encoder_hidden_states = None
@@ -734,6 +750,44 @@ def _dit_prologue(
         encoder_hidden_states = eh.reshape(b, -1, inner)
 
     return x, freqs_cis, ada_timestep, embedded_timestep, encoder_hidden_states
+
+
+def precompute_timestep_tables(
+    params: dict,
+    cfg: DiTConfig,
+    timesteps: jnp.ndarray,  # [S] schedule sigma levels in (0, 1]
+    batch: int,
+    dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """AdaLN-single embeds for a whole sigma schedule, computed once.
+
+    Step loops over a FIXED schedule re-run the timestep-embedder chain
+    (sinusoidal embed + 2 linears + silu, ~15 small XLA ops) every step on
+    a per-sample scalar t — loop-invariant work: the schedule is known
+    before the loop. Returns (ada_table [S, B, 1, n_ada*inner],
+    embedded_table [S, B, 1, inner]); index with the step counter and pass
+    as ``dit_apply(timestep_tables=...)``. Only valid for per-sample
+    scalar timesteps (the token-level conditioning-mask path keeps the
+    in-loop embedder: its t depends on the per-token mask).
+    """
+    inner = cfg.inner_dim
+    # scale in the activation dtype — bit-matches the in-loop prologue,
+    # whose timestep arrives as a dtype-of-latents array (the pp/sp
+    # denoisers still use that path; pipeline outputs must not depend on
+    # which one ran)
+    t = timesteps.astype(dtype) * cfg.timestep_scale_multiplier
+    s = t.shape[0]
+    embedded = timestep_embedder(
+        params["adaln_single"]["emb"], t.reshape(-1), dtype=dtype
+    )  # [S, inner]
+    ada = linear(params["adaln_single"]["linear"], jax.nn.silu(embedded))
+    ada_table = jnp.broadcast_to(
+        ada.reshape(s, 1, 1, ada.shape[-1]), (s, batch, 1, ada.shape[-1])
+    )
+    emb_table = jnp.broadcast_to(
+        embedded.reshape(s, 1, 1, inner), (s, batch, 1, inner)
+    )
+    return ada_table.astype(dtype), emb_table.astype(dtype)
 
 
 def _dit_epilogue(

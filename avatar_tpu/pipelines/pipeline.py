@@ -609,6 +609,22 @@ class LTXVideoPipeline:
                 [sigmas, jnp.zeros((1,), sigmas.dtype)]
             )
 
+            # AdaLN timestep embeds for the whole schedule, once: the
+            # per-step embedder chain is ~15 small XLA ops whose in-loop
+            # fixed costs add up (512px audit, round 5). Only the
+            # per-sample-scalar-t path — token-level t (cond mask) depends
+            # on the mask and stays in-loop. pp/sp denoisers keep their
+            # own prologue.
+            timestep_tables = None
+            if (not has_cond_mask and self.pp_mesh is None
+                    and self.sp_mesh is None):
+                from avatar_tpu.models.dit import precompute_timestep_tables
+
+                timestep_tables = precompute_timestep_tables(
+                    dit_params, dit_cfg, sigmas_ext,
+                    b * num_conds, dtype=latents.dtype,
+                )
+
             def body(i, carry):
                 latents, key = carry
                 t = sigmas[i]
@@ -630,8 +646,15 @@ class LTXVideoPipeline:
                     else skip_layer_mask
                 )
 
-                def guided_velocity(lat, t_cur):
-                    """CFG/STG-combined velocity at noise level t_cur."""
+                def guided_velocity(lat, t_cur, step_idx):
+                    """CFG/STG-combined velocity at noise level t_cur
+                    (= sigmas_ext[step_idx]; the index selects the
+                    precomputed AdaLN table row when tables are active)."""
+                    step_tables = (
+                        None if timestep_tables is None
+                        else (timestep_tables[0][step_idx],
+                              timestep_tables[1][step_idx])
+                    )
                     latent_in = tile(lat)
                     if has_cond_mask:
                         token_t = jnp.minimum(t_cur, 1.0 - cond_mask)  # [B, N]
@@ -692,6 +715,7 @@ class LTXVideoPipeline:
                             freqs_cis=freqs_cis,
                             rope_split=rope_split,
                             cross_kv=cross_kv,
+                            timestep_tables=step_tables,
                         ).astype(latents.dtype)
 
                     parts = jnp.split(noise_pred, num_conds, axis=0)
@@ -745,7 +769,7 @@ class LTXVideoPipeline:
                         pred = pred * factor.reshape(b, 1, 1).astype(pred.dtype)
                     return pred, token_t
 
-                pred, token_t = guided_velocity(latents, t)
+                pred, token_t = guided_velocity(latents, t, i)
                 if solver == "heun":
                     # Euler predictor to the next schedule level, then a
                     # trapezoidal corrector. rf_step is linear in the
@@ -766,7 +790,7 @@ class LTXVideoPipeline:
                     if has_cond_mask:
                         keep_e = (t - T_EPS < (1.0 - cond_mask))[..., None]
                         x_e = jnp.where(keep_e, x_e, latents)
-                    pred2, _ = guided_velocity(x_e, t_next)
+                    pred2, _ = guided_velocity(x_e, t_next, i + 1)
                     pred = jnp.where(t_next > 0.0, 0.5 * (pred + pred2), pred)
 
                 k_step = jax.random.fold_in(key, 2 * i + 1)

@@ -771,10 +771,16 @@ def main():
         # int8 matmuls at the 394 TOP/s MXU peak, attention at the d=64
         # STRUCTURAL ceiling 98.5 TF/s (a 64-deep operand half-fills the
         # 128x128 systolic array), quant producers at the 819 GB/s HBM
-        # roofline, and the XLA-fused glue (rope/residual/relayout/adaLN)
-        # at its measured 455 us/block — its effective bandwidth already
-        # exceeds the naive byte roofline, so measured time IS its floor
-        # (the r3 formula priced it at zero, understating the floor ~20%).
+        # roofline, and the XLA-fused glue (rope/residual/relayout) at its
+        # IN-CONTEXT measured time (718 us/block, round-5 xprof of the
+        # real 40-step loop): every glue row but `reshape` fuses above the
+        # naive byte roofline even in-context (measured time IS its floor);
+        # reshape runs at 611 GB/s and is priced at bytes/819. The r4
+        # formula used the STANDALONE 28-block scan's 455 us/block — the
+        # same ops run ~60% slower inside the full program (scheduling,
+        # not recoverable op-by-op: an unrolled-28-distinct-blocks
+        # standalone reproduces the fast 158.7 ms, the pipeline context
+        # adds ~7.4 ms of glue-category time; docs/PERF_512_AUDIT.md r5).
         step5, flops5, mfu5 = dit_step_stats(pipe_l, params512, inputs512, 161)
         n_tok = 5376
         c = pipe_l.dit_cfg
@@ -782,7 +788,7 @@ def main():
         prod_bytes = c.num_layers * n_tok * 3 * (
             c.inner_dim * c.ff_mult + 4 * c.inner_dim
         )  # act_quant (ff hidden) + 2x rms_mod + 2x quantize_rows (inner)
-        glue_s = c.num_layers * 455e-6
+        glue_s = c.num_layers * 718e-6
         floor_s = ((flops5 - attn_f) / 394e12 + attn_f / 98.5e12
                    + prod_bytes / 819e9 + glue_s)
         details["long_context_512px_161f_w8a8"] = {
