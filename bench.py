@@ -80,6 +80,42 @@ INT8_PEAK = 394e12       # v5e int8 MXU peak (2x bf16)
 ATTN_RATE_832 = 65e12    # fused token-major kernel, L=832, d=64
 
 
+def cheap_params(init_fn, scale=0.05):
+    """Pseudo-random bf16 param tree matching ``init_fn``'s shapes WITHOUT
+    threefry (jax.random generates ~10M elem/s through the axon tunnel — a
+    2B-param init would read as a hang). Sin-hash over iota is
+    timing-equivalent for benchmarking: MXU/HBM throughput is
+    value-independent. Same trick as t5_stage's cheap_init."""
+    shapes = jax.eval_shape(init_fn, jax.random.PRNGKey(0))
+    leaves, treedef = jax.tree.flatten(shapes)
+
+    def build():
+        out = []
+        for i, leaf in enumerate(leaves):
+            n = int(np.prod(leaf.shape)) if leaf.shape else 1
+            x = jnp.arange(n, dtype=jnp.float32)
+            x = jnp.sin(x * 12.9898 + float(i)) * 43758.5453
+            x = x - jnp.floor(x) - 0.5
+            out.append((x * scale).astype(jnp.bfloat16).reshape(leaf.shape))
+        return jax.tree.unflatten(treedef, out)
+
+    return jax.jit(build)()
+
+
+def training_comps():
+    """[dit_cfg, dit_params, vae_cfg, vae_params] with cheap-init bf16
+    weights, for running training_stage in a FRESH process (clean HBM +
+    allocator — the robust fix for the r4 driver artifact's full_b8
+    RESOURCE_EXHAUSTED). Step timing is value-independent, so cheap-init
+    weights measure the same step as the pipeline's real init."""
+    vae_cfg = VAEConfig.from_dict(
+        {**LTX_VAE_CONFIG, "timestep_conditioning": True})
+    dit_cfg = DiTConfig()
+    dit_params = cheap_params(lambda k: init_dit(k, dit_cfg))
+    vae_params = cheap_params(lambda k: init_vae(k, vae_cfg))
+    return [dit_cfg, dit_params, vae_cfg, vae_params]
+
+
 def build_pipeline():
     """Returns (pipeline, raw_components). The pipeline permutes dit params
     into the split-RoPE layout at init, so building a second pipeline (the
@@ -255,8 +291,9 @@ def training_stage(comps):
 
     ``comps`` is a MUTABLE list [dit_cfg, dit_params, vae_cfg, vae_params]
     (the caller deletes its own reference) so rows can free components
-    they're done with — reuses the bench pipeline's raw components: no
-    second 2B init.
+    they're done with. Normally runs inside tools/bench_training_rows.py —
+    a fresh process with cheap-init weights (training_comps) so full_b8's
+    f32 masters land in an unfragmented HBM.
     """
     from avatar_tpu.core.config import TrainConfig
     from avatar_tpu.train.train import (init_trainable, make_optimizer,
@@ -719,12 +756,18 @@ def main():
                               "host dispatch; device compute itself is "
                               "MXU-bound (see batch_scaling_explained)",
             }
-            server.shutdown()
         except Exception as e:
             details["w8a8"]["serving"] = f"failed: {e}"[:80]
-        del pipe_q
+        finally:
+            try:  # stop the worker + drop its pipe_q reference either way
+                server.shutdown()
+            except Exception:
+                pass
+            server = None  # noqa: F841
     except Exception as e:
         details["w8a8"] = f"failed: {e}"[:80]
+    finally:
+        pipe_q = None  # noqa: F841 — free the int8 copy even on failure
 
     # Long-context config (SURVEY §5 single-chip anchor): 512px 161 frames
     # = 5376 tokens/step — exercises the blocked bounded-logit flash kernel
@@ -801,30 +844,53 @@ def main():
             "floor_audit": "docs/PERF_512_AUDIT.md (per-op table)",
             "breakdown": "tools/perf_512.py audits encode/decode/host split",
         }
-        del pipe_l
     except Exception as e:
         details["long_context_512px_161f_w8a8"] = f"failed: {e}"[:80]
+    finally:
+        # drop the w8a8 512px pipeline even on failure — a leftover copy
+        # (~3 GB int8 DiT+VAE) would shrink the training subprocess's HBM
+        pipe_l = None  # noqa: F841
 
     # Training rows (VERDICT r3 item 3: regressions must be visible in the
-    # driver artifact, not only in tools/profile_*). Runs last — the
-    # pipelines above are freed, leaving HBM for optimizer state.
+    # driver artifact, not only in tools/profile_*). Runs last, in a FRESH
+    # subprocess: the r4 artifact recorded full_b8 RESOURCE_EXHAUSTED and
+    # the r5 in-process retry (scrub + clear_caches + recompile) ALSO
+    # failed — whatever the inference stages leave behind (allocator
+    # fragmentation, program text) survives every in-process scrub. A new
+    # client gets a fresh server-side allocator; the parent frees its own
+    # weights first so the child sees nearly the whole 16 GB.
     import gc
+    import os
+    import subprocess
+    import sys
 
-    comps = list(raw)
-    del raw  # training_stage frees components as rows finish with them
-    # Scrub HBM before the training rows (VERDICT r4 item 1 — full_b8
-    # RESOURCE_EXHAUSTED in the r4 driver artifact): drop the leaked input
-    # buffers from earlier sections (~450 MB: 512px pose frames alone are
-    # 253 MB) and EVERY cached executable — compiled TPU programs occupy
-    # HBM, and by this point the bench has compiled two resolutions x two
-    # precisions x batched variants of the 40-step pipeline. The
-    # persistent compile cache makes the training-step recompile cheap.
+    del raw
     inputs1 = inputs_b = inputs512 = None  # noqa: F841
     t5_embeds = t5_mask = None  # noqa: F841
     gc.collect()
     jax.clear_caches()
     gc.collect()
-    details["training"] = training_stage(comps)
+    try:
+        t_sub = time.perf_counter()
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "bench_training_rows.py")],
+            capture_output=True, text=True, timeout=2400)
+        line = [ln for ln in r.stdout.splitlines()
+                if ln.startswith("TRAINING_ROWS_JSON ")][-1]
+        rows = json.loads(line[len("TRAINING_ROWS_JSON "):])
+        rows["subprocess_wall_s"] = round(time.perf_counter() - t_sub, 1)
+        rows["process"] = ("fresh subprocess (clean HBM/allocator; "
+                           "cheap-init weights — step timing is "
+                           "value-independent)")
+        for tag, v in rows.items():
+            if isinstance(v, str) and v.startswith("failed"):
+                _flag(f"training row {tag} {v}"[:120])
+        details["training"] = rows
+    except Exception as e:
+        _flag(f"training subprocess failed ({e}); in-process fallback"[:120])
+        details["training"] = training_stage(training_comps())
 
     # Run-integrity verdict (VERDICT r4 items 1-2): contamination signals
     # mean the device queue was poisoned by another client — the rows are
