@@ -433,7 +433,9 @@ def _feed_forward(
 
         from avatar_tpu.ops.int8_matmul import W8A8_PALLAS_MIN_TOKENS
 
-        if h.shape[0] * h.shape[1] >= W8A8_PALLAS_MIN_TOKENS and tpu_backend():
+        # per-sample seq len: the fusion breakdown this path exists for is
+        # a long-SEQUENCE effect (see ops/int8_matmul.py threshold note)
+        if h.shape[1] >= W8A8_PALLAS_MIN_TOKENS and tpu_backend():
             # Long-sequence W8A8: activation + row quant in one Pallas pass
             # over the [N, 8192] mid-activations — the widest elementwise
             # site in the block (~300 MB/block of HBM as separate XLA
@@ -485,7 +487,9 @@ def _block_apply(
     # the plain inference path: per-step scalar timestep (T==1 ada rows),
     # no STG mixing through norm_x, no LoRA, no sequence parallelism.
     def _tokens(t):
-        return t.shape[0] * t.shape[1] if t.ndim == 3 else 0
+        # per-sample seq len, not B*N: long-sequence routing is a
+        # per-sequence effect (ops/int8_matmul.py threshold note)
+        return t.shape[1] if t.ndim == 3 else 0
 
     from avatar_tpu.ops.int8_matmul import W8A8_PALLAS_MIN_TOKENS
 

@@ -60,20 +60,22 @@ def linear(params: dict, x) -> jnp.ndarray:
         # into the epilogue. Identical quants of a shared input (q/k/v off
         # one norm) are CSE'd by XLA, so the row-max costs once. Short
         # sequences keep the plain XLA dot (epilogue fusion wins there);
-        # M >= W8A8_PALLAS_MIN_TOKENS routes to the Pallas
+        # PER-SAMPLE seq len >= W8A8_PALLAS_MIN_TOKENS routes to the Pallas
         # in-register-dequant kernel (ops/int8_matmul.py) — at those sizes
-        # XLA materializes the int32 accumulators in HBM. N-based routing
-        # was measured neutral at 832 tokens (kernel wins the dot, loses
-        # the quant fusion); batched 832-token shapes (M=3328 at b4) stay
-        # on the XLA path — see the threshold note in ops/int8_matmul.py.
+        # XLA materializes the int32 accumulators in HBM. The breakdown is
+        # a per-sequence effect: batching 832-token samples does NOT
+        # reproduce it (measured through b4 = 3328 total tokens, r5), so
+        # routing keys on x.shape[-2], not the flattened row count — see
+        # the threshold note in ops/int8_matmul.py.
         w_q = params["kernel_q8"]
         m = 1
         for dim in x.shape[:-1]:
             m *= int(dim)
+        seq = int(x.shape[-2]) if x.ndim >= 2 else m
         from avatar_tpu.ops.attention import tpu_backend
         from avatar_tpu.ops.int8_matmul import W8A8_PALLAS_MIN_TOKENS
 
-        if m >= W8A8_PALLAS_MIN_TOKENS and tpu_backend():
+        if seq >= W8A8_PALLAS_MIN_TOKENS and tpu_backend():
             # Long sequences: XLA stops fusing both the activation-quant
             # passes and the dequant of the int32 accumulators (~15 GB/step
             # of HBM round-trips at 5376 tokens) — run a single-pass Pallas

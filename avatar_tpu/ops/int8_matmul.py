@@ -27,18 +27,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Token-count (B*N) threshold above which the W8A8 inference path leaves
-# XLA's fused int8 dot for the Pallas kernels (quantize_rows /
-# fused_rms_mod_quant / fused_act_quant producers + w8a8_matmul). Below
-# it XLA fuses the act-quant and dequant epilogues at memory speed and
-# the kernels only add launch overhead. Measured on v5e (round 5):
-# 832/1664 tokens -> XLA wins (r2 finding); 3328 tokens (batch-4 256px,
-# the r4 "w8a8 batch inversion": 147.7 vs 157.8 device-fps at b2) ->
-# XLA STILL wins — the fusion breakdown the Pallas path exists for is a
-# single-sample long-sequence effect, first seen at 5376 tokens
-# (512px-161f), where XLA round-trips ~15 GB/step of int32 accumulators
-# through HBM. 4096 keeps every batched 832-token shape on the XLA path
-# and every 512px shape on the Pallas path.
+# PER-SAMPLE sequence-length threshold above which the W8A8 inference
+# path leaves XLA's fused int8 dot for the Pallas kernels (quantize_rows
+# / fused_rms_mod_quant / fused_act_quant producers + w8a8_matmul).
+# Below it XLA fuses the act-quant and dequant epilogues at memory speed
+# and the kernels only add launch overhead. Measured on v5e (round 5):
+# 832-token sequences -> XLA wins at every measured batch (b1/b2 r2
+# finding; b4 = 3328 total tokens was the r4 "w8a8 batch inversion":
+# 147.7 vs 157.8 device-fps — an earlier B*N-keyed predicate pushed it
+# onto the Pallas path). The fusion breakdown the Pallas path exists for
+# is a long-SEQUENCE effect, first seen at 5376 tokens (512px-161f),
+# where XLA round-trips ~15 GB/step of int32 accumulators through HBM —
+# so routing keys on x.shape[-2] (models/layers.py:linear,
+# models/dit.py), keeping batched short sequences on the XLA path at ANY
+# batch size while every 512px shape runs the kernels.
 W8A8_PALLAS_MIN_TOKENS = 4096
 
 

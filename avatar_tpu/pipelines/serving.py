@@ -59,14 +59,18 @@ class GenerationRequest:
 
 
 def _bucket_key(req: GenerationRequest) -> Tuple:
+    """Coalescing key: EVERY GenerationParams field (a batch runs with the
+    leader's params, so any field differing across coalesced requests would
+    silently generate the wrong thing — e.g. solver, frame_rate, or
+    vae_per_channel_normalize), plus the request-shape fields."""
+    import dataclasses
+
     p = req.params
     return (
-        p.height, p.width, p.num_frames, p.num_inference_steps,
-        _as_tuple(p.guidance_scale), _as_tuple(p.stg_scale),
-        _as_tuple(p.rescaling_scale), p.cfg_star_rescale,
-        p.skip_layer_strategy, _as_tuple(p.skip_block_list),
-        _as_tuple(p.decode_timestep), p.tone_map_compression_ratio,
-        p.stochastic_sampling, p.image_cond_noise_scale,
+        tuple(
+            _as_tuple(getattr(p, f.name))
+            for f in dataclasses.fields(GenerationParams)
+        ),
         req.prompt_embeds.shape, req.ref_image is not None,
         req.pose_frames is not None, req.output_type,
     )
@@ -81,10 +85,16 @@ def _as_tuple(v):
 class _LatentCache:
     """Identity-keyed host-media -> device-latents cache (LRU).
 
-    An entry holds a strong reference to the host array (so ``id()`` stays
-    valid while cached) plus its VAE-encoded latents on device. Latents are
-    ~200x smaller than the pixels they encode ([1,13,8,8,128] bf16 = 213 KB
-    vs 38 MB of 97f/256px pose frames), so a generous capacity is cheap.
+    An entry holds a WEAK reference to the host array plus its VAE-encoded
+    latents on device: ``id()``-keying is only valid while the caller's
+    array is alive, and the weakref means the cache never pins pixels the
+    caller dropped (38 MB of pose frames per 97f/256px request — 64 pinned
+    entries would be ~2.4 GB of host RAM for a client that re-loads media
+    per request and can never hit). Cached latents are ~200x smaller than
+    the pixels they encode ([1,13,8,8,128] bf16 = 213 KB), so the entry
+    cap prices only them. Hits require the caller to reuse the SAME array
+    object across requests — the natural pattern for resident avatar
+    assets, and the only pattern id-keying can serve.
     """
 
     def __init__(self, capacity: int):
@@ -96,16 +106,25 @@ class _LatentCache:
         self.misses = 0
 
     def get(self, media, extra_key, encode):
+        import weakref
+
         key = (id(media), extra_key)
         ent = self._entries.get(key)
-        if ent is not None and ent[0] is media:
+        if ent is not None and ent[0]() is media:
             self._entries.move_to_end(key)
             self.hits += 1
             return ent[1]
         self.misses += 1
         latents = encode(media)
-        self._entries[key] = (media, latents)
+        try:
+            ref = weakref.ref(media)
+        except TypeError:  # non-weakrefable media: don't cache
+            return latents
+        self._entries[key] = (ref, latents)
         self._entries.move_to_end(key)
+        # drop dead entries first (their id() keys may be reused), then LRU
+        for k in [k for k, (r, _) in self._entries.items() if r() is None]:
+            del self._entries[k]
         while len(self._entries) > self.capacity:
             self._entries.popitem(last=False)
         return latents

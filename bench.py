@@ -58,15 +58,25 @@ def preflight() -> float:
     """Queue-wedge probe: one tiny program + scalar fetch, timed. On a
     clean device this is compile (~3-4 s) + a millisecond roundtrip; a
     wedged queue (leftover programs from a killed client) shows up as a
-    long block BEFORE any heavy section runs."""
+    long block BEFORE any heavy section runs.
+
+    Client INIT is forced first and excluded from the probe: fresh-client
+    init through the axon tunnel legitimately swings 3 s -> minutes with
+    host load (the 09:03 r5 validation run spent ~75 s of an 80 s
+    "preflight" on init alone), and a slow init is NOT queue wedging —
+    only the post-init probe time is."""
+    t_init = time.perf_counter()
+    jax.devices()  # backend/client init, not a queue signal
+    init_s = time.perf_counter() - t_init
     t0 = time.perf_counter()
     x = jnp.ones((1024, 1024), jnp.bfloat16)
     float(jnp.sum(jnp.dot(x, x).astype(jnp.float32)))
     dt = time.perf_counter() - t0
     if dt > PREFLIGHT_BOUND_S:
-        _flag(f"preflight {dt:.1f}s > {PREFLIGHT_BOUND_S}s: device queue "
-              "likely wedged by a prior client's programs")
-    return dt
+        _flag(f"preflight probe {dt:.1f}s > {PREFLIGHT_BOUND_S}s (after "
+              f"{init_s:.1f}s client init): device queue likely wedged "
+              "by a prior client's programs")
+    return init_s + dt
 
 # Precision-aware floor rates, same convention as the 512px row
 # (docs/PERF_512_AUDIT.md): int8 matmuls priced at the 394 TOP/s MXU int8
@@ -165,31 +175,11 @@ def t5_stage():
 
     t5_cfg = T5Config()  # XXL encoder defaults
 
-    # Pseudo-random fill WITHOUT threefry: generating 4.76B params through
-    # jax.random in one program measured ~500 s on the axon tunnel (the
-    # counter-based RNG's u32 ops crawl there); a sin-hash over iota is
-    # timing-equivalent for benchmarking (MXU throughput is
-    # value-independent) and runs in milliseconds.
-    def cheap_init(cfg):
-        shapes = jax.eval_shape(
-            lambda k: init_t5_encoder(k, cfg, dtype=jnp.bfloat16),
-            jax.random.PRNGKey(0),
-        )
-        leaves, treedef = jax.tree.flatten(shapes)
-
-        def fill(i, shape):
-            n = int(np.prod(shape))
-            x = jnp.arange(n, dtype=jnp.float32)
-            x = jnp.sin(x * 12.9898 + float(i)) * 43758.5453
-            x = x - jnp.floor(x) - 0.5
-            return (x * 0.05).astype(jnp.bfloat16).reshape(shape)
-
-        return jax.tree.unflatten(
-            treedef, [fill(i, l.shape) for i, l in enumerate(leaves)]
-        )
-
     t0 = time.perf_counter()
-    params = jax.jit(lambda: cheap_init(t5_cfg))()
+    # cheap_params: sin-hash fill, no threefry (generating 4.76B params
+    # through jax.random measured ~500 s on the axon tunnel)
+    params = cheap_params(
+        lambda k: init_t5_encoder(k, t5_cfg, dtype=jnp.bfloat16))
     float(jnp.sum(params["final_norm"].astype(jnp.float32)))  # force done
     init_s = time.perf_counter() - t0
     if init_s > T5_INIT_BOUND_S:
@@ -691,10 +681,14 @@ def main():
             "vae_convs": "int8",
         }
 
-        # w8a8 batch scaling (device-side fps, forced completion)
-        for batch in (2, 4):
-            inputs_b = make_inputs(batch, h, w, num_frames, t5_embeds,
-                                   t5_mask)
+        # w8a8 batch scaling (device-side fps, forced completion). batch 1
+        # included: the pipelined-wall "fps" above rides the tunnel's D2H
+        # bandwidth, which swings >10x between sessions — batch1_device_fps
+        # is the session-independent anchor for the b1 operating point.
+        for batch in (1, 2, 4):
+            inputs_b = (inputs1 if batch == 1 else
+                        make_inputs(batch, h, w, num_frames, t5_embeds,
+                                    t5_mask))
             def full_run_q(seed, _i=inputs_b):
                 out = run_batch(pipe_q, params, _i, seed)
                 return float(jnp.sum(out[:, 0, 0, :8].astype(jnp.float32)))
@@ -715,9 +709,9 @@ def main():
         # The residual-memory hypothesis was disproven: b2/b4 measured
         # identical with and without the resident int8 T5 + bf16 pipe.
         details["w8a8"]["batch_scaling_explained"] = (
-            "monotone after routing fix: B*N>=4096 keeps the Pallas "
-            "long-seq path for 512px only; batched 832-token shapes stay "
-            "on XLA's fused int8 dot (see ops/int8_matmul.py threshold "
+            "monotone after routing fix: per-sample seq len >= 4096 keeps "
+            "the Pallas long-seq path for 512px only; 832-token shapes "
+            "stay on XLA's fused int8 dot at any batch (int8_matmul.py "
             "note)")
 
         # Serving layer (pipelines/serving.py): dynamic-batched coalesced
@@ -870,6 +864,7 @@ def main():
     gc.collect()
     jax.clear_caches()
     gc.collect()
+    timed_out = False
     try:
         t_sub = time.perf_counter()
         r = subprocess.run(
@@ -877,9 +872,16 @@ def main():
              os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "tools", "bench_training_rows.py")],
             capture_output=True, text=True, timeout=2400)
-        line = [ln for ln in r.stdout.splitlines()
-                if ln.startswith("TRAINING_ROWS_JSON ")][-1]
-        rows = json.loads(line[len("TRAINING_ROWS_JSON "):])
+        lines = [ln for ln in r.stdout.splitlines()
+                 if ln.startswith("TRAINING_ROWS_JSON ")]
+        if not lines:
+            raise RuntimeError(
+                f"no TRAINING_ROWS_JSON line (exit {r.returncode}); "
+                f"stderr tail: {r.stderr[-400:]}")
+        rows = json.loads(lines[-1][len("TRAINING_ROWS_JSON "):])
+        if r.returncode != 0:
+            _flag(f"training subprocess exit {r.returncode} after printing "
+                  f"rows; stderr tail: {r.stderr[-200:]}"[:200])
         rows["subprocess_wall_s"] = round(time.perf_counter() - t_sub, 1)
         rows["process"] = ("fresh subprocess (clean HBM/allocator; "
                            "cheap-init weights — step timing is "
@@ -889,19 +891,52 @@ def main():
                 _flag(f"training row {tag} {v}"[:120])
         details["training"] = rows
     except Exception as e:
-        _flag(f"training subprocess failed ({e}); in-process fallback"[:120])
-        details["training"] = training_stage(training_comps())
+        timed_out = isinstance(e, subprocess.TimeoutExpired)
+        _flag(f"training subprocess failed ({e}); "
+              + ("timeout: NO in-process fallback (the killed child's "
+                 "queued programs would wedge it)" if timed_out
+                 else "in-process fallback")[:120])
+        if timed_out:
+            # A timeout-killed client leaves its queued programs running
+            # server-side (CLAUDE.md) — an immediate in-process rerun would
+            # measure a wedged queue or hang with no timeout. Record the
+            # failure; the completed rows above must never be lost.
+            details["training"] = f"failed: subprocess timeout ({e})"[:160]
+        else:
+            try:
+                details["training"] = training_stage(training_comps())
+            except Exception as e2:  # never lose the bench JSON
+                _flag(f"in-process training fallback failed ({e2})"[:120])
+                details["training"] = f"failed: {e2}"[:160]
 
     # Run-integrity verdict (VERDICT r4 items 1-2): contamination signals
     # mean the device queue was poisoned by another client — the rows are
     # then lower bounds on the chip, not regressions. R3 anchors let the
     # reader judge a CLEAN run at a glance.
-    r3 = {"headline_fps": 103.5, "w8a8_fps": 141.4}
+    r3 = {"headline_fps": 103.5, "w8a8_fps": 141.4,
+          "w8a8_b1_device_fps": 148.0}
     notes = []
     if not _integrity["signals"] and fps < 0.9 * r3["headline_fps"]:
         notes.append(
             f"headline {fps:.1f} f/s < 0.9x r3 anchor "
             f"{r3['headline_fps']} on a CLEAN preflight — regression?")
+    w8 = details.get("w8a8")
+    if not _integrity["signals"] and isinstance(w8, dict):
+        # the pipelined-wall w8a8 fps rides the tunnel D2H bandwidth
+        # (>10x session swings); judge regressions on the device-side b1
+        # anchor, and explain a low wall row when the device row is fine
+        b1 = w8.get("batch1_device_fps")
+        if isinstance(b1, (int, float)):
+            if b1 < 0.9 * r3["w8a8_b1_device_fps"]:
+                notes.append(
+                    f"w8a8 b1 device fps {b1:.1f} < 0.9x anchor "
+                    f"{r3['w8a8_b1_device_fps']} — regression?")
+            elif w8.get("fps", 0) < 0.9 * r3["w8a8_fps"]:
+                notes.append(
+                    f"w8a8 pipelined wall {w8['fps']:.1f} f/s below the "
+                    f"{r3['w8a8_fps']} anchor but device-side b1 "
+                    f"{b1:.1f} is at anchor: tunnel-fetch session "
+                    "variance, not a compute regression")
     details["run_integrity"] = {
         "preflight_s": round(preflight_s, 2),
         "contaminated": bool(_integrity["signals"]),

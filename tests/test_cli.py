@@ -279,8 +279,10 @@ def test_pipeline_config_yamls_load():
 
 
 _SHIPPED_YAMLS = sorted(
-    p for p in __import__("pathlib").Path("configs").glob("*.yaml")
+    __import__("pathlib").Path(__file__).resolve().parents[1]
+    .joinpath("configs").glob("*.yaml")
 )
+assert _SHIPPED_YAMLS, "configs/ sweep collected zero yamls"  # never vacuous
 
 
 @pytest.mark.parametrize(
