@@ -557,3 +557,30 @@ def test_infer_cli_long_video(tmp_path, synthetic_ckpt):
     frames = list(read_video_frames(videos[0]))
     assert len(frames) == 25
     assert frames[0].shape == (64, 64, 3)
+
+
+def test_scan_blocks_cli_plumb_through(synthetic_ckpt):
+    """yaml `scan_blocks` knob: create_ltx_video_pipeline stacks the blocks
+    (composing with w8a8 quantization) and the 2-step generation matches the
+    unrolled pipeline in f32."""
+    from avatar_tpu.cli.infer import create_ltx_video_pipeline
+    from avatar_tpu.pipelines import GenerationParams
+
+    ckpt_path, _, _ = synthetic_ckpt
+    kw = dict(precision="float32", sampler="from_checkpoint",
+              attention_impl="xla", quantize="w8a8")
+    pipe = create_ltx_video_pipeline(str(ckpt_path), **kw)
+    pipe_s = create_ltx_video_pipeline(str(ckpt_path), scan_blocks=True, **kw)
+    assert not isinstance(pipe_s.dit_params["blocks"], list)
+    assert "kernel_q8" in pipe_s.dit_params["blocks"]["ff"]["proj_in"]
+
+    p = GenerationParams(
+        height=64, width=64, num_frames=8, num_inference_steps=2,
+        guidance_scale=1.0, stg_scale=0.0, rescaling_scale=1.0,
+        decode_timestep=0.05,
+    )
+    embeds = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 32))
+    mask = jnp.ones((1, 8))
+    out = pipe(p, jax.random.PRNGKey(1), embeds, mask, dtype=jnp.float32)
+    out_s = pipe_s(p, jax.random.PRNGKey(1), embeds, mask, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_s), atol=1e-4)

@@ -260,3 +260,77 @@ def test_split_rope_equivalence_op_level():
     np.testing.assert_allclose(
         np.asarray(out_ref[..., perm]), np.asarray(out_split), atol=1e-6
     )
+
+
+def test_scan_blocks_matches_unrolled(tiny):
+    """Stacked-blocks lax.scan path (LTXVideoPipeline(scan_blocks=True):
+    depth-independent compile) bit-matches the python-unrolled loop across
+    plain / skip-mask / cross_kv+split-rope / lora variants."""
+    from avatar_tpu.models.dit import (
+        permute_dit_params_for_split_rope,
+        precompute_cross_attention_kv,
+    )
+    from avatar_tpu.parallel.pipeline import stack_block_params
+
+    cfg, params = tiny
+    tokens, grid, text, mask = _inputs(cfg)
+    t = jnp.asarray([0.5, 0.9])
+    stacked = dict(params, blocks=stack_block_params(params["blocks"]))
+
+    base = dit_apply(params, cfg, tokens, grid, t, text, mask,
+                     attention_impl="xla")
+    out = dit_apply(stacked, cfg, tokens, grid, t, text, mask,
+                    attention_impl="xla")
+    np.testing.assert_allclose(np.asarray(base), np.asarray(out), atol=2e-5)
+
+    # STG skip mask rows scan alongside the layer axis
+    slm = create_skip_layer_mask(cfg.num_layers, 1, 2, ptb_index=1,
+                                 skip_block_list=[1])
+    base_s = dit_apply(params, cfg, tokens, grid, t, text, mask,
+                       skip_layer_mask=slm,
+                       skip_layer_strategy=SkipLayerStrategy.AttentionSkip,
+                       attention_impl="xla")
+    out_s = dit_apply(stacked, cfg, tokens, grid, t, text, mask,
+                      skip_layer_mask=slm,
+                      skip_layer_strategy=SkipLayerStrategy.AttentionSkip,
+                      attention_impl="xla")
+    np.testing.assert_allclose(np.asarray(base_s), np.asarray(out_s),
+                               atol=2e-5)
+
+    # split-RoPE params + stacked cross_kv (the serving pipeline layout:
+    # precompute_cross_attention_kv returns the stacked pair directly)
+    p_split = permute_dit_params_for_split_rope(params, cfg)
+    st_split = dict(p_split, blocks=stack_block_params(p_split["blocks"]))
+    kv_st, _ = precompute_cross_attention_kv(st_split, cfg, text)
+    assert isinstance(kv_st, tuple) and kv_st[0].shape[0] == cfg.num_layers
+    out_kv = dit_apply(st_split, cfg, tokens, grid, t, None, mask,
+                       attention_impl="xla", rope_split=True, cross_kv=kv_st)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(out_kv),
+                               atol=2e-5)
+
+    # lora (list-of-blocks form is stacked in-trace)
+    rank = 4
+    lora_blocks = []
+    for li in range(cfg.num_layers):
+        ks = jax.random.split(jax.random.PRNGKey(20 + li), 4)
+        lora_blocks.append({
+            "attn2": {
+                name: {
+                    "a": jax.random.normal(ks[i], (dim_in, rank)) * 0.1,
+                    "b": jnp.full((rank, dim_out), 0.05),
+                }
+                for i, (name, dim_in, dim_out) in enumerate([
+                    ("to_q", cfg.inner_dim, cfg.inner_dim),
+                    ("to_k", cfg.cross_attention_dim, cfg.inner_dim),
+                    ("to_v", cfg.cross_attention_dim, cfg.inner_dim),
+                    ("to_out", cfg.inner_dim, cfg.inner_dim),
+                ])
+            }
+        })
+    lora = {"blocks": lora_blocks}
+    base_l = dit_apply(params, cfg, tokens, grid, t, text, mask, lora=lora,
+                       attention_impl="xla")
+    out_l = dit_apply(stacked, cfg, tokens, grid, t, text, mask, lora=lora,
+                      attention_impl="xla")
+    np.testing.assert_allclose(np.asarray(base_l), np.asarray(out_l),
+                               atol=2e-5)

@@ -267,3 +267,32 @@ def test_w8a8_pipeline(pipeline):
     assert np.isfinite(o).all()
     # int8 perturbs the velocity field slightly; frames stay close in [0,1]
     assert np.abs(o - b).mean() < 0.05, np.abs(o - b).mean()
+
+
+def test_scan_blocks_pipeline_matches(pipeline):
+    """LTXVideoPipeline(scan_blocks=True) — stacked blocks, one lax.scan
+    body, depth-independent compile — matches the unrolled pipeline on the
+    same seeds, including a CFG+STG run (skip masks scanning the layer
+    axis)."""
+    pipe_s = LTXVideoPipeline(
+        pipeline.dit_cfg, pipeline.raw_dit_params, pipeline.vae_cfg,
+        pipeline.vae_params, schedule=pipeline.schedule,
+        attention_impl="xla", scan_blocks=True,
+    )
+    assert not isinstance(pipe_s.dit_params["blocks"], list)
+    embeds, mask = _prompt()
+    for kw in (
+        {},
+        dict(guidance_scale=2.0, stg_scale=1.0, skip_block_list=[1],
+             rescaling_scale=0.7),
+    ):
+        p = _params(**kw)
+        key = jax.random.PRNGKey(3)
+        # f32: in bf16 the scan materializes the carry at each layer
+        # boundary where the unroll fuses across blocks — a legitimate
+        # ~1-ulp rounding difference, not an equivalence gap
+        out = pipeline(p, key, embeds, mask, dtype=jnp.float32)
+        out_s = pipe_s(p, key, embeds, mask, dtype=jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(out_s), atol=1e-4,
+        )
