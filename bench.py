@@ -598,8 +598,7 @@ def main():
             t5_resident_row = f"failed: {e}"[:100]
         # free the encoder before the heavier sections (batch, w8a8 copy,
         # 512px decode) — residency is claimed for the 256px serving point
-        t5_resident = None
-        del t5p, t5_enc
+        t5_resident = t5p = t5_enc = None  # noqa: F841
         import gc
 
         gc.collect()
